@@ -1,0 +1,160 @@
+"""Fused inference engine — ONE XLA program: uint8 image in, uint8 mask out.
+
+Reference: src/engine/inference.py (SURVEY.md §2#9, §3.3). The reference
+pipeline is host-heavy: cv2 BGR->RGB, numpy normalize (``prepare_img``),
+pad-to-stride, H2D copy, forward, ``F.interpolate`` of logits to input
+size, argmax, D2H. The north star (BASELINE.json) requires the whole
+chain fused on-device so host<->TPU traffic is a single uint8 image in
+and a single uint8 mask out per frame.
+
+TPU-first design:
+  * normalize/pad/forward/upsample/argmax trace into one ``jit`` — XLA
+    fuses the uint8->bf16 normalize into the stem conv's input pipeline
+    and the argmax into the upsample matmuls' epilogue;
+  * the final bilinear upsample is the two-matmul formulation
+    (segtpu.core.resize) so it runs on the MXU instead of gather units;
+  * compute in bfloat16 (weights cast at trace time, f32 accumulation
+    via ``preferred_element_type`` defaults), final argmax in f32 —
+    mIoU-neutral in practice, toggleable with ``compute_dtype``;
+  * static shape buckets: one compiled program per (H, W, batch) bucket
+    (512x512 VOC, 360x480 CamVid, 2048x1024 CityScapes — the driver's
+    three dataset configs), cached on the ``Segmenter`` object;
+  * input buffers are donated so XLA reuses the uint8 staging buffer
+    across frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from segtpu.core.resize import resize_bilinear
+from segtpu.models.segmenter import segmenter_apply
+from segtpu.utils.helpers import IMG_MEAN, IMG_STD, IMG_SCALE
+
+STRIDE = 32  # encoder output stride — pad-to-stride rule
+
+
+def pad_to_stride(hw: Tuple[int, int], stride: int = STRIDE) -> Tuple[int, int]:
+    h, w = hw
+    return (-(-h // stride) * stride, -(-w // stride) * stride)
+
+
+def _normalize_on_device(img_u8, compute_dtype):
+    """uint8 [N,H,W,3] -> normalized activations. Exact same arithmetic
+    as utils.helpers.prepare_img, traced on-device."""
+    x = img_u8.astype(jnp.float32) * IMG_SCALE
+    x = (x - jnp.asarray(IMG_MEAN)) / jnp.asarray(IMG_STD)
+    return x.astype(compute_dtype)
+
+
+def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
+                   batch: Optional[int] = None, align_corners: bool = True,
+                   compute_dtype=jnp.bfloat16, return_logits: bool = False):
+    """Compile-ready fused inference function for one shape bucket.
+
+    Returns ``infer(params, stats, img_u8)`` where img_u8 is
+    uint8 [H,W,3] (batch=None) or [N,H,W,3]; result is a uint8 mask of
+    the same spatial shape (or f32 full-res logits if return_logits).
+    """
+    h, w = int(input_hw[0]), int(input_hw[1])
+    hp, wp = pad_to_stride((h, w))
+
+    def infer(params, stats, img_u8):
+        x = img_u8 if img_u8.ndim == 4 else img_u8[None]
+        x = _normalize_on_device(x, compute_dtype)
+        # zero-pad bottom/right to the stride multiple (reference rule:
+        # pad the normalized image; open item SURVEY.md §7.4.3)
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        logits, _, _ = segmenter_apply(genotype, params, stats, x,
+                                       train=False,
+                                       align_corners=align_corners)
+        # upsample to padded full res on the MXU, crop, then argmax
+        logits = resize_bilinear(logits, (hp, wp),
+                                 align_corners=align_corners,
+                                 compute_dtype=jnp.float32)
+        logits = logits[:, :h, :w, :].astype(jnp.float32)
+        if return_logits:
+            out = logits
+        else:
+            out = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        return out if img_u8.ndim == 4 else out[0]
+
+    return infer
+
+
+class Segmenter:
+    """User-facing inference API (reference: engine/inference segmenter API).
+
+    >>> seg = Segmenter(genotype, params, stats, num_classes=19)
+    >>> mask = seg.predict(img_u8)          # uint8 [H,W,3] -> uint8 [H,W]
+    >>> masks = seg.predict_batch(imgs_u8)  # uint8 [N,H,W,3]
+
+    Each distinct input shape compiles once and is cached; weights are
+    placed on device once at construction.
+    """
+
+    def __init__(self, genotype, params, stats, *, num_classes: int,
+                 align_corners: bool = True, compute_dtype=jnp.bfloat16,
+                 device=None):
+        self.genotype = genotype
+        self.num_classes = num_classes
+        self.align_corners = align_corners
+        self.compute_dtype = compute_dtype
+        device = device or jax.devices()[0]
+        self._params = jax.device_put(params, device)
+        self._stats = jax.device_put(stats, device)
+        self._device = device
+        self._cache: Dict[Tuple, object] = {}
+
+    def _compiled(self, hw: Tuple[int, int], return_logits: bool = False):
+        key = (hw, return_logits)
+        if key not in self._cache:
+            fn = build_infer_fn(self.genotype, num_classes=self.num_classes,
+                                input_hw=hw, align_corners=self.align_corners,
+                                compute_dtype=self.compute_dtype,
+                                return_logits=return_logits)
+            self._cache[key] = jax.jit(fn, donate_argnums=(2,))
+        return self._cache[key]
+
+    def predict(self, img_u8, *, return_logits: bool = False):
+        """Single image or batch; blocks and returns numpy."""
+        img_u8 = np.ascontiguousarray(img_u8, dtype=np.uint8)
+        hw = img_u8.shape[-3:-1]
+        fn = self._compiled((int(hw[0]), int(hw[1])), return_logits)
+        out = fn(self._params, self._stats,
+                 jax.device_put(img_u8, self._device))
+        return np.asarray(out)
+
+    predict_batch = predict
+
+    def predict_stream(self, images):
+        """Streaming inference with transfer/compute overlap: while the
+        TPU runs frame i, frame i+1 is already being H2D-copied (the
+        reference has no equivalent — it syncs per frame)."""
+        it = iter(images)
+        try:
+            nxt = jax.device_put(
+                np.ascontiguousarray(next(it), np.uint8), self._device)
+        except StopIteration:
+            return
+        pending = None
+        while nxt is not None:
+            cur = nxt
+            try:
+                nxt = jax.device_put(
+                    np.ascontiguousarray(next(it), np.uint8), self._device)
+            except StopIteration:
+                nxt = None
+            hw = cur.shape[-3:-1]
+            fn = self._compiled((int(hw[0]), int(hw[1])))
+            out = fn(self._params, self._stats, cur)
+            if pending is not None:
+                yield np.asarray(pending)
+            pending = out
+        if pending is not None:
+            yield np.asarray(pending)

@@ -1,0 +1,77 @@
+"""Fused inference engine: shape buckets, padding, argmax decode, streaming."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segtpu.engine.inference import (
+    Segmenter, build_infer_fn, pad_to_stride)
+from segtpu.models import ARCHS
+from segtpu.models.segmenter import segmenter_init
+from segtpu.utils.helpers import prepare_img, IMG_MEAN
+
+
+def test_pad_to_stride():
+    assert pad_to_stride((512, 512)) == (512, 512)
+    assert pad_to_stride((360, 480)) == (384, 480)
+    assert pad_to_stride((33, 1)) == (64, 32)
+
+
+@pytest.fixture(scope="module")
+def arch1_model():
+    genotype = ARCHS["arch1"]
+    params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,
+                                   num_classes=7)
+    return genotype, params, stats
+
+
+def test_infer_fn_single_and_batch(arch1_model):
+    genotype, params, stats = arch1_model
+    # non-multiple-of-32 size exercises the pad path
+    fn = jax.jit(build_infer_fn(genotype, num_classes=7, input_hw=(40, 72),
+                                compute_dtype=jnp.float32))
+    img = (np.random.RandomState(0).rand(40, 72, 3) * 255).astype(np.uint8)
+    mask = fn(params, stats, jnp.asarray(img))
+    assert mask.shape == (40, 72) and mask.dtype == jnp.uint8
+    assert int(jnp.max(mask)) < 7
+
+    batch = np.stack([img, img[::-1]])
+    masks = fn(params, stats, jnp.asarray(batch))
+    assert masks.shape == (2, 40, 72)
+    np.testing.assert_array_equal(np.asarray(masks[0]), np.asarray(mask))
+
+
+def test_infer_matches_unfused_reference_path(arch1_model):
+    """Fused on-device pipeline == host prepare_img + forward + upsample
+    + argmax (the reference's unfused chain, SURVEY.md §3.3)."""
+    from segtpu.core.resize import resize_bilinear
+    from segtpu.models.segmenter import segmenter_apply
+    genotype, params, stats = arch1_model
+    img = (np.random.RandomState(1).rand(64, 64, 3) * 255).astype(np.uint8)
+
+    fn = build_infer_fn(genotype, num_classes=7, input_hw=(64, 64),
+                        compute_dtype=jnp.float32, return_logits=True)
+    fused = np.asarray(fn(params, stats, jnp.asarray(img)))
+
+    x = jnp.asarray(prepare_img(img))[None]
+    logits, _, _ = segmenter_apply(genotype, params, stats, x)
+    ref = np.asarray(resize_bilinear(logits, (64, 64))[0])
+    np.testing.assert_allclose(fused, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_segmenter_api_and_stream(arch1_model):
+    genotype, params, stats = arch1_model
+    seg = Segmenter(genotype, params, stats, num_classes=7,
+                    compute_dtype=jnp.float32)
+    img = (np.random.RandomState(2).rand(48, 64, 3) * 255).astype(np.uint8)
+    m1 = seg.predict(img)
+    assert m1.shape == (48, 64) and m1.dtype == np.uint8
+    frames = [img, img, img]
+    out = list(seg.predict_stream(frames))
+    assert len(out) == 3
+    for m in out:
+        np.testing.assert_array_equal(m, m1)
+    # shape-bucket cache: two shapes -> two compiled entries
+    seg.predict((np.random.rand(32, 32, 3) * 255).astype(np.uint8))
+    assert len(seg._cache) == 2
