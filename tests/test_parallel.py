@@ -1,0 +1,72 @@
+"""Multi-device dp+sp sharding on the virtual 8-device CPU mesh
+(SURVEY.md §4 item 4): the sharded train step must compile, run, and
+agree numerically with the single-device step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segtpu.engine.trainer import (
+    make_train_step, make_eval_step, init_train_state)
+from segtpu.models import ARCHS
+from segtpu.models.segmenter import segmenter_init
+from segtpu.parallel.mesh import (
+    make_mesh, make_sharded_train_step, make_sharded_eval_step)
+from segtpu.utils.solvers import create_optimisers
+
+
+def _batch(n=4, hw=(64, 64), k=5, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "image": jnp.asarray(rng.randn(n, *hw, 3).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, k, size=(n, *hw)).astype(np.int32)),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    genotype = ARCHS["arch2"]
+    params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,
+                                   num_classes=5, aux=True)
+    opt = create_optimisers()
+    state = init_train_state(params, stats, opt)
+    step = make_train_step(genotype, opt, num_classes=5)
+    return genotype, state, step
+
+
+def test_mesh_construction():
+    assert jax.device_count() == 8
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "space": 2}
+    with pytest.raises(ValueError):
+        make_mesh(16, 1)
+
+
+def test_sharded_train_step_matches_single_device(setup):
+    genotype, state, step = setup
+    batch = _batch()
+    mesh = make_mesh(4, 2)
+    sharded = make_sharded_train_step(step, mesh)
+    s1, loss1 = step(state, batch)
+    s2, loss2 = sharded(state, batch)
+    assert np.isfinite(float(loss1))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-4)
+    # parameters after one update agree (grad psum == full-batch grad)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_eval_step(setup):
+    genotype, state, _ = setup
+    batch = _batch(seed=1)
+    mesh = make_mesh(2, 4)
+    ev = make_eval_step(genotype, num_classes=5)
+    sharded = make_sharded_eval_step(ev, mesh)
+    cm1 = np.asarray(ev(state.params, state.stats, batch))
+    cm2 = np.asarray(sharded(state.params, state.stats, batch))
+    np.testing.assert_array_equal(cm1, cm2)
+    assert cm1.sum() == batch["label"].size

@@ -1,0 +1,98 @@
+"""Search-loop integration: tiny synthetic dataset, 2 iterations
+(SURVEY.md §4 item 5) + trainer unit behavior + data layer."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segtpu.config import SearchConfig
+from segtpu.data.datasets import SyntheticDataset, BatchLoader, create_loaders
+from segtpu.engine.trainer import (
+    make_train_step, init_train_state, make_eval_step, validate)
+from segtpu.models import ARCHS
+from segtpu.models.segmenter import segmenter_init
+from segtpu.search import run_search, compute_reward
+from segtpu.utils.solvers import create_optimisers
+
+
+def test_loader_shapes_and_split():
+    ds = SyntheticDataset(n=10, hw=(32, 32), num_classes=4)
+    train, val = create_loaders(ds, batch_size=2, crop=(24, 24),
+                                meta_train_prct=0.8)
+    assert len(set(train.indices) & set(val.indices)) == 0
+    b = next(iter(train))
+    assert b["image"].shape == (2, 24, 24, 3)
+    assert b["image"].dtype == np.float32  # normalized on host
+    assert b["label"].shape == (2, 24, 24)
+    epochs = [sorted(x["label"].sum() for x in train),
+              sorted(x["label"].sum() for x in train)]
+    assert len(epochs[0]) == len(train)
+
+
+def test_train_step_reduces_loss():
+    genotype = ARCHS["arch2"]
+    params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,
+                                   num_classes=4, aux=True)
+    opt = create_optimisers(dec_lr=1e-2, enc_lr=1e-2)
+    state = init_train_state(params, stats, opt, do_polyak=True)
+    step = make_train_step(genotype, opt, num_classes=4, do_polyak=True)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32)),
+        "label": jnp.asarray(rng.randint(0, 4, size=(2, 64, 64)).astype(np.int32)),
+    }
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # CE(main) + 3 aux heads at ~log(4) each, random-init wiggle allowed
+    assert losses[0] < (1 + 3 * 0.3) * np.log(4) * 2.5
+    assert losses[-1] < losses[0]  # learns the fixed batch
+    assert state.polyak is not None
+
+
+def test_validate_runs():
+    genotype = ARCHS["arch2"]
+    params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,
+                                   num_classes=4)
+    ev = make_eval_step(genotype, num_classes=4)
+    ds = SyntheticDataset(n=4, hw=(32, 32), num_classes=4)
+    loader = BatchLoader(ds, batch_size=2, crop=(32, 32), train=False)
+    batches = ({"image": jnp.asarray(b["image"], jnp.float32),
+                "label": jnp.asarray(b["label"])} for b in loader)
+    miou = validate(ev, params, stats, batches, num_classes=4)
+    assert 0.0 <= miou <= 1.0
+
+
+def test_compute_reward():
+    assert compute_reward(0.25, 0.25) == pytest.approx(0.25)
+    assert compute_reward(0.0, 0.5) == 0.0
+    assert compute_reward(float("nan"), 0.5) == 0.0
+
+
+def test_search_smoke(tmp_path):
+    cfg = SearchConfig(
+        synthetic=True, num_classes=4, crop_size=(32, 32),
+        batch_size=(4, 4), num_epochs=(1, 1), num_iters=2,
+        ctrl_algo="ppo", snapshot_dir=str(tmp_path / "snap"),
+        do_polyak=True, aux_cell=False, seed=7)
+    saver = run_search(cfg)
+    assert len(saver.history) == 2
+    for rec in saver.history:
+        assert rec["status"] == "ok"
+        assert 0.0 <= rec["reward"] <= 1.0
+    # snapshot written + resumable
+    assert os.path.exists(os.path.join(cfg.snapshot_dir, "controller.npz"))
+    log_path = os.path.join(cfg.snapshot_dir, "search_log.jsonl")
+    lines = [json.loads(l) for l in open(log_path)]
+    assert len(lines) == 2
+
+    # resume continues from step 2
+    cfg2 = SearchConfig(**{**cfg.__dict__, "num_iters": 3, "resume": True})
+    saver2 = run_search(cfg2)
+    assert len(saver2.history) == 3
