@@ -42,6 +42,7 @@ class SearchConfig:
     sep_repeats: int = 1                      # --sep-repeats
 
     # --- controller (reference: rl flags) ---
+    ctrl_version: str = "cvpr"                # --ctrl-version cvpr | wacv
     ctrl_algo: str = "ppo"                    # 'reinforce' | 'ppo'
     ctrl_lr: float = 1e-4                     # --ctrl-lr
     ctrl_baseline_decay: float = 0.95         # --ctrl-baseline-decay

@@ -54,15 +54,22 @@ def _normalize_on_device(img_u8, compute_dtype):
 
 def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
                    batch: Optional[int] = None, align_corners: bool = True,
-                   compute_dtype=jnp.bfloat16, return_logits: bool = False):
+                   compute_dtype=jnp.bfloat16, return_logits: bool = False,
+                   use_pallas: Optional[bool] = None):
     """Compile-ready fused inference function for one shape bucket.
 
     Returns ``infer(params, stats, img_u8)`` where img_u8 is
     uint8 [H,W,3] (batch=None) or [N,H,W,3]; result is a uint8 mask of
     the same spatial shape (or f32 full-res logits if return_logits).
+
+    use_pallas: route the upsample+argmax tail through the fused Pallas
+    kernel (segtpu.kernels.upsample_argmax) — the full-res logit tensor
+    never touches HBM. Defaults to True on TPU, False elsewhere.
     """
     h, w = int(input_hw[0]), int(input_hw[1])
     hp, wp = pad_to_stride((h, w))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     def infer(params, stats, img_u8):
         x = img_u8 if img_u8.ndim == 4 else img_u8[None]
@@ -73,15 +80,22 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
         logits, _, _ = segmenter_apply(genotype, params, stats, x,
                                        train=False,
                                        align_corners=align_corners)
-        # upsample to padded full res on the MXU, crop, then argmax
-        logits = resize_bilinear(logits, (hp, wp),
-                                 align_corners=align_corners,
-                                 compute_dtype=jnp.float32)
-        logits = logits[:, :h, :w, :].astype(jnp.float32)
         if return_logits:
-            out = logits
+            logits = resize_bilinear(logits.astype(jnp.float32), (hp, wp),
+                                     align_corners=align_corners,
+                                     compute_dtype=jnp.float32)
+            out = logits[:, :h, :w, :]
+        elif use_pallas:
+            from segtpu.kernels.upsample_argmax import upsample_argmax
+            # the kernel's interp matrices are built for the padded grid
+            # and cropped to (h, w) rows/cols — equal to up-then-crop
+            out = upsample_argmax(logits, (hp, wp), crop_hw=(h, w),
+                                  align_corners=align_corners)
         else:
-            out = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            logits = resize_bilinear(logits.astype(jnp.float32), (hp, wp),
+                                     align_corners=align_corners,
+                                     compute_dtype=jnp.float32)
+            out = jnp.argmax(logits[:, :h, :w, :], axis=-1).astype(jnp.uint8)
         return out if img_u8.ndim == 4 else out[0]
 
     return infer

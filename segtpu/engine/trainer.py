@@ -142,9 +142,11 @@ def make_decoder_train_step(genotype, optimizer, *, num_classes: int,
     the sampled decoder, so per-genotype compile cost is minimal
     (SURVEY.md §7.3 item 4). state.params/stats are decoder-only trees.
     batch = {'taps': tuple of 4 arrays, 'label': ..., optional 'teacher'}."""
+    from segtpu.models.families import infer_family
+    fam = infer_family(genotype)
 
     def loss_fn(params, stats, batch):
-        logits, aux, new_stats = micro_decoder_apply(
+        logits, aux, new_stats = fam.apply(
             genotype, params, stats, batch["taps"], train=True, with_aux=True)
         loss = segmentation_loss(
             logits, aux, batch["label"], num_classes=num_classes,

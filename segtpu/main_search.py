@@ -49,6 +49,8 @@ def _add_search_flags(p: argparse.ArgumentParser):
     p.add_argument("--no-aux-cell", dest="aux_cell", action="store_false")
     p.add_argument("--agg-size", type=int, default=defaults.agg_size)
     p.add_argument("--sep-repeats", type=int, default=defaults.sep_repeats)
+    p.add_argument("--ctrl-version", choices=["cvpr", "wacv"],
+                   default=defaults.ctrl_version)
     p.add_argument("--ctrl-algo", choices=["reinforce", "ppo"],
                    default=defaults.ctrl_algo)
     p.add_argument("--ctrl-lr", type=float, default=defaults.ctrl_lr)
@@ -107,6 +109,38 @@ def cmd_infer(args):
     print(f"wrote {out}: classes {sorted(np.unique(mask).tolist())}")
 
 
+def cmd_eval(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from segtpu.models import ARCHS
+    from segtpu.models.segmenter import segmenter_init
+    from segtpu.engine.trainer import make_eval_step
+    from segtpu.data.datasets import SegmentationDataset, BatchLoader
+    from segtpu.utils.metrics import mean_iou, compute_iu
+
+    genotype = ARCHS[args.arch]
+    if args.ckpt:
+        from segtpu.convert.torch_import import load_segmenter_checkpoint
+        params, stats = load_segmenter_checkpoint(args.ckpt, genotype,
+                                                  args.num_classes)
+    else:
+        params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,
+                                       num_classes=args.num_classes)
+    ds = SegmentationDataset(args.data_root, args.val_list)
+    loader = BatchLoader(ds, batch_size=args.batch_size,
+                         crop=tuple(args.crop_size), train=False)
+    ev = make_eval_step(genotype, num_classes=args.num_classes)
+    cm = np.zeros((args.num_classes, args.num_classes), np.int64)
+    for batch in loader:
+        cm += np.asarray(ev(params, stats,
+                            {"image": jnp.asarray(batch["image"], jnp.float32),
+                             "label": jnp.asarray(batch["label"])}))
+    iu = compute_iu(cm)
+    print("per-class IoU:", np.round(iu, 4).tolist())
+    print(f"mIoU: {mean_iou(cm):.4f}")
+
+
 def cmd_bench(args):
     import os
     os.environ.setdefault("BENCH_ARCH", args.arch)
@@ -132,6 +166,16 @@ def main(argv=None):
     pi.add_argument("--ckpt", default="")
     pi.add_argument("--output", default="")
     pi.set_defaults(fn=cmd_infer)
+
+    pe = sub.add_parser("eval", help="mIoU over a .lst manifest")
+    pe.add_argument("--arch", default="arch0")
+    pe.add_argument("--data-root", required=True)
+    pe.add_argument("--val-list", required=True)
+    pe.add_argument("--num-classes", type=int, default=19)
+    pe.add_argument("--batch-size", type=int, default=4)
+    pe.add_argument("--crop-size", type=int, nargs=2, default=[512, 512])
+    pe.add_argument("--ckpt", default="")
+    pe.set_defaults(fn=cmd_eval)
 
     pb = sub.add_parser("bench", help="headline throughput benchmark")
     pb.add_argument("--arch", default="arch0")

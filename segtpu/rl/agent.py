@@ -91,10 +91,15 @@ def create_agent(key, *, spec: MicroControllerSpec = MicroControllerSpec(),
 
 
 def sample_genotype(agent: Agent, key):
-    """-> (genotype, actions, logprobs, entropies)."""
+    """-> (genotype, actions, logprobs, entropies). Decodes micro- or
+    template-genotypes depending on the agent's controller spec
+    (reference --ctrl-version cvpr/wacv)."""
     actions, logprobs, entropies = ctrl.sample(agent.state.params,
                                                agent.spec, key)
-    genotype = ctrl.genotype_from_actions(actions, agent.spec)
+    if isinstance(agent.spec, ctrl.TemplateControllerSpec):
+        genotype = ctrl.template_genotype_from_actions(actions, agent.spec)
+    else:
+        genotype = ctrl.genotype_from_actions(actions, agent.spec)
     return genotype, actions, logprobs, entropies
 
 

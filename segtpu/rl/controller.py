@@ -63,7 +63,52 @@ class MicroControllerSpec(NamedTuple):
         return m
 
 
-def controller_init(key, spec: MicroControllerSpec, dtype=jnp.float32):
+class TemplateControllerSpec(NamedTuple):
+    """WACV'20 template-search decision sequence (reference:
+    rl/micro_controllers.py::TemplateController, conf:M; selected by the
+    reference's --ctrl-version wacv flag, SURVEY.md §2#12). Per block:
+    two pool indices, an aggregation template, a post-op."""
+    num_enc_taps: int = 4
+    num_blocks: int = 3
+    num_agg_ops: int = 2     # AGG_OP_NAMES: psum, cat
+    num_ops: int = NUM_OPS
+    hidden_size: int = 100
+    emb_size: int = 100
+    logit_tanh: float = 2.5
+
+    @property
+    def slot_sizes(self) -> List[int]:
+        sizes: List[int] = []
+        for b in range(self.num_blocks):
+            pool = self.num_enc_taps + b
+            sizes += [pool, pool, self.num_agg_ops, self.num_ops]
+        return sizes
+
+    @property
+    def n_slots(self) -> int:
+        return len(self.slot_sizes)
+
+    @property
+    def max_vocab(self) -> int:
+        return max(self.slot_sizes)
+
+    def mask(self) -> np.ndarray:
+        m = np.zeros((self.n_slots, self.max_vocab), np.bool_)
+        for i, s in enumerate(self.slot_sizes):
+            m[i, :s] = True
+        return m
+
+
+def template_genotype_from_actions(actions, spec: TemplateControllerSpec):
+    """Decode actions -> [[i, j, agg, op], ...] (template genotype)."""
+    a = [int(x) for x in np.asarray(actions)]
+    assert len(a) == spec.n_slots
+    it = iter(a)
+    return [[next(it), next(it), next(it), next(it)]
+            for _ in range(spec.num_blocks)]
+
+
+def controller_init(key, spec, dtype=jnp.float32):
     h, e, v = spec.hidden_size, spec.emb_size, spec.max_vocab
     ks = jax.random.split(key, 6)
     u = lambda k, shape, fan: jax.random.uniform(  # noqa: E731

@@ -63,11 +63,11 @@ def _cache_taps(enc_params, enc_stats, loader) -> List[Dict[str, Any]]:
     return cached
 
 
-def _make_decoder_eval_step(genotype, num_classes: int):
+def _make_decoder_eval_step(genotype, num_classes: int, fam):
     @jax.jit
     def step(params, stats, batch):
-        logits, _, _ = micro_decoder_apply(genotype, params, stats,
-                                           batch["taps"], train=False)
+        logits, _, _ = fam.apply(genotype, params, stats,
+                                 batch["taps"], train=False)
         logits = resize_bilinear(logits, batch["label"].shape[1:3],
                                  compute_dtype=jnp.float32)
         pred = jnp.argmax(logits, axis=-1)
@@ -84,8 +84,10 @@ def proxy_train(genotype, enc_params, enc_stats, cfg: SearchConfig,
     cached_train/cached_val: device-resident tap batches (stage 1).
     train_loader/val_loader: image loaders (stage 2 end-to-end).
     """
+    from segtpu.models.families import infer_family
+    fam = infer_family(genotype)
     key = jax.random.PRNGKey(rng_seed)
-    dec_params, dec_stats = micro_decoder_init(
+    dec_params, dec_stats = fam.init(
         key, genotype, MBV2_TAP_CHANNELS, cfg.num_classes,
         agg_size=cfg.agg_size, repeats=cfg.sep_repeats, aux=True,
         aux_cell=cfg.aux_cell)
@@ -104,7 +106,7 @@ def proxy_train(genotype, enc_params, enc_stats, cfg: SearchConfig,
         for batch in cached_train:
             state, loss = step1(state, batch)
 
-    eval_dec = _make_decoder_eval_step(genotype, cfg.num_classes)
+    eval_dec = _make_decoder_eval_step(genotype, cfg.num_classes, fam)
     eval_params = state.polyak if state.polyak is not None else state.params
     cm = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
     for batch in cached_val:
@@ -178,9 +180,15 @@ def run_search(cfg: SearchConfig, *, dataset=None,
     cached_train = _cache_taps(enc_params, enc_stats, cache_train_loader)
     cached_val = _cache_taps(enc_params, enc_stats, cache_val_loader)
 
-    spec = MicroControllerSpec(
-        num_blocks=cfg.num_blocks, num_cell_nodes=cfg.num_cell_nodes,
-        hidden_size=cfg.lstm_hidden_size, emb_size=cfg.op_size)
+    if cfg.ctrl_version in ("wacv", "template"):
+        from segtpu.rl.controller import TemplateControllerSpec
+        spec = TemplateControllerSpec(
+            num_blocks=cfg.num_blocks,
+            hidden_size=cfg.lstm_hidden_size, emb_size=cfg.op_size)
+    else:
+        spec = MicroControllerSpec(
+            num_blocks=cfg.num_blocks, num_cell_nodes=cfg.num_cell_nodes,
+            hidden_size=cfg.lstm_hidden_size, emb_size=cfg.op_size)
     agent = create_agent(k_agent, spec=spec, algo=cfg.ctrl_algo,
                          lr=cfg.ctrl_lr,
                          baseline_decay=cfg.ctrl_baseline_decay,

@@ -1,0 +1,59 @@
+"""Pallas kernels vs their XLA reference implementations (interpret mode
+on the CPU test mesh; compiled path exercised on TPU by bench/verify)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segtpu.core.resize import resize_bilinear
+from segtpu.kernels.upsample_argmax import upsample_argmax
+
+
+def _ref(logits, out_hw, align_corners):
+    # f32 end-to-end (the kernel never rounds the interpolated logits
+    # back to bf16 — that matches the torch-f32 reference chain)
+    up = resize_bilinear(logits.astype(jnp.float32), out_hw,
+                         align_corners=align_corners,
+                         compute_dtype=jnp.float32)
+    return jnp.argmax(up, axis=-1).astype(jnp.uint8)
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize("shape,out_hw", [
+    ((2, 32, 64, 19), (128, 256)),   # 4x, CityScapes-like class count
+    ((1, 16, 16, 5), (64, 64)),      # small
+    ((1, 16, 24, 7), (70, 96)),      # H not divisible by tile
+])
+def test_upsample_argmax_matches_xla(align_corners, shape, out_hw):
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(*shape).astype(np.float32), jnp.bfloat16)
+    got = upsample_argmax(logits, out_hw, align_corners=align_corners,
+                          tile_h=32, interpret=True)
+    want = _ref(logits, out_hw, align_corners)
+    got, want = np.asarray(got), np.asarray(want)
+    assert got.shape == want.shape == (shape[0], *out_hw)
+    # bf16 inputs, f32 interp on both paths -> identical away from exact
+    # ties; allow a vanishingly small tie-disagreement fraction
+    frac = (got != want).mean()
+    assert frac < 1e-3, f"mismatch fraction {frac}"
+
+
+def test_upsample_argmax_3d_input():
+    logits = jnp.asarray(np.random.RandomState(1).randn(8, 8, 4),
+                         jnp.float32)
+    got = upsample_argmax(logits, (32, 32), tile_h=32, interpret=True)
+    assert got.shape == (32, 32) and got.dtype == jnp.uint8
+    want = _ref(logits[None], (32, 32), True)[0]
+    assert (np.asarray(got) == np.asarray(want)).mean() > 0.999
+
+
+def test_upsample_argmax_crop_matches_up_then_crop():
+    rng = np.random.RandomState(2)
+    logits = jnp.asarray(rng.randn(1, 12, 15, 6).astype(np.float32))
+    # padded grid 96x128, crop to 70x100
+    got = upsample_argmax(logits, (96, 120), crop_hw=(70, 100),
+                          tile_h=32, interpret=True)
+    want = _ref(logits, (96, 120), True)[:, :70, :100]
+    assert got.shape == (1, 70, 100)
+    assert (np.asarray(got) == np.asarray(want)).mean() > 0.999
