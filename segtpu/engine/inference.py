@@ -52,6 +52,19 @@ def _normalize_on_device(img_u8, compute_dtype):
     return x.astype(compute_dtype)
 
 
+def _normalize_s2d(img_u8, compute_dtype):
+    """uint8 [N,H,W,3] (H, W even) -> normalized space-to-depth
+    [N,H/2,W/2,12]. The 2x2-patch layout turns the C=3 normalize +
+    3-input-channel stem conv into 12-channel work (4x better VPU/MXU
+    lane occupancy); numerically identical to _normalize_on_device +
+    encoders.space_to_depth."""
+    from segtpu.models.encoders import space_to_depth
+    x = space_to_depth(img_u8).astype(jnp.float32) * IMG_SCALE
+    mean12 = jnp.tile(jnp.asarray(IMG_MEAN), 4)
+    std12 = jnp.tile(jnp.asarray(IMG_STD), 4)
+    return ((x - mean12) / std12).astype(compute_dtype)
+
+
 def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
                    batch: Optional[int] = None, align_corners: bool = True,
                    compute_dtype=jnp.bfloat16, return_logits: bool = False,
@@ -70,16 +83,27 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
     hp, wp = pad_to_stride((h, w))
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    # space-to-depth stem fast path needs even input dims (pad-to-stride
+    # margins stay normalized-zero in both paths, preserving parity)
+    use_s2d = h % 2 == 0 and w % 2 == 0
 
     def infer(params, stats, img_u8):
         x = img_u8 if img_u8.ndim == 4 else img_u8[None]
-        x = _normalize_on_device(x, compute_dtype)
-        # zero-pad bottom/right to the stride multiple (reference rule:
-        # pad the normalized image; open item SURVEY.md §7.4.3)
-        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        if use_s2d:
+            x = _normalize_s2d(x, compute_dtype)
+            x = jnp.pad(x, ((0, 0), (0, (hp - h) // 2),
+                            (0, (wp - w) // 2), (0, 0)))
+            fmt = "s2d12"
+        else:
+            x = _normalize_on_device(x, compute_dtype)
+            # zero-pad bottom/right to the stride multiple (reference
+            # rule: pad the normalized image; open item SURVEY.md §7.4.3)
+            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+            fmt = "nhwc3"
         logits, _, _ = segmenter_apply(genotype, params, stats, x,
                                        train=False,
-                                       align_corners=align_corners)
+                                       align_corners=align_corners,
+                                       input_format=fmt)
         if return_logits:
             logits = resize_bilinear(logits.astype(jnp.float32), (hp, wp),
                                      align_corners=align_corners,

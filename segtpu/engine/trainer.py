@@ -36,12 +36,14 @@ class TrainState(NamedTuple):
     stats: Any
     opt_state: Any
     polyak: Optional[Any] = None
+    step: Any = 0
 
 
 def init_train_state(params, stats, optimizer, *, do_polyak: bool = False):
     return TrainState(params, stats, optimizer.init(params),
                       jax.tree_util.tree_map(jnp.copy, params)
-                      if do_polyak else None)
+                      if do_polyak else None,
+                      jnp.asarray(0, jnp.int32))
 
 
 def cross_entropy(logits, labels, *, num_classes: int, ignore: int = 255):
@@ -112,9 +114,11 @@ def make_train_step(genotype, optimizer, *, num_classes: int,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        polyak = (polyak_update(state.polyak, params, polyak_decay)
+        polyak = (polyak_update(state.polyak, params, polyak_decay,
+                                step=state.step)
                   if state.polyak is not None else None)
-        return TrainState(params, new_stats, opt_state, polyak), loss
+        return TrainState(params, new_stats, opt_state, polyak,
+                          state.step + 1), loss
 
     return step
 
@@ -161,9 +165,10 @@ def make_decoder_train_step(genotype, optimizer, *, num_classes: int,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        polyak = (polyak_update(state.polyak, params)
+        polyak = (polyak_update(state.polyak, params, step=state.step)
                   if state.polyak is not None else None)
-        return TrainState(params, new_stats, opt_state, polyak), loss
+        return TrainState(params, new_stats, opt_state, polyak,
+                          state.step + 1), loss
 
     return step
 

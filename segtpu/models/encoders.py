@@ -95,13 +95,63 @@ def mbv2_init(key, *, in_channels: int = 3, dtype=jnp.float32):
     return params, stats
 
 
-def mbv2_apply(params, stats, x, *, train: bool = False):
+def space_to_depth(x):
+    """[N, H, W, C] -> [N, H/2, W/2, 4C] by 2x2 patch flattening.
+    Channel order: (dy, dx, c) row-major — must match stem_s2d_kernel."""
+    n, h, w, c = x.shape
+    y = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+    return y.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def stem_s2d_kernel(w3):
+    """Fold the 3x3/stride-2 stem kernel into an equivalent 2x2/stride-1
+    kernel over the space-to-depth input — the standard TPU trick for
+    C=3 input convs (3 lanes of 128 used -> 12), exact to fp rounding.
+
+    Derivation: output (i,j) of the original conv (SAME, pad 1) reads raw
+    rows 2i-1..2i+1 = patch rows {i-1, i} at intra-patch offsets dy with
+    2a + dy - 2 = u for patch-tap a in {0,1}; taps with 2a+dy == 0 fall
+    on the zero top/left padding.
+    """
+    kh, kw, cin, cout = w3.shape
+    assert (kh, kw) == (3, 3)
+    w2 = jnp.zeros((2, 2, 4 * cin, cout), w3.dtype)
+    for a in range(2):
+        for b in range(2):
+            for dy in range(2):
+                for dx in range(2):
+                    u, v = 2 * a + dy - 2, 2 * b + dx - 2
+                    if -1 <= u <= 1 and -1 <= v <= 1:
+                        idx = (dy * 2 + dx) * cin
+                        w2 = w2.at[a, b, idx:idx + cin].set(w3[u + 1, v + 1])
+    return w2
+
+
+def mbv2_apply(params, stats, x, *, train: bool = False,
+               input_format: str = "nhwc3"):
     """Forward pass. x: [N, H, W, 3] -> list of 4 taps (strides 4/8/16/32)
     plus new stats. H and W must be multiples of 32 (pad upstream; the
-    inference engine owns the pad-to-stride rule)."""
+    inference engine owns the pad-to-stride rule).
+
+    input_format='s2d12': x is the space-to-depth form [N, H/2, W/2, 12]
+    and the stem runs as the folded 2x2/stride-1 conv (inference fast
+    path; numerically identical to the nhwc3 stem).
+    """
     new_stats: Dict[str, Any] = {}
-    y, new_stats["stem"] = conv_bn_apply(params["stem"], stats["stem"], x,
-                                         stride=2, act="relu6", train=train)
+    if input_format == "s2d12":
+        from segtpu.core.layers import bn_apply, relu6, conv_apply
+        w2 = stem_s2d_kernel(params["stem"]["w"])
+        y = jax.lax.conv_general_dilated(
+            x, w2.astype(x.dtype), (1, 1), ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y, new_stats["stem"] = bn_apply(params["stem"], stats["stem"], y,
+                                        train=train)
+        y = relu6(y)
+    else:
+        y, new_stats["stem"] = conv_bn_apply(params["stem"], stats["stem"],
+                                             x, stride=2, act="relu6",
+                                             train=train)
     taps = []
     bi = 0
     nb: List[Any] = []

@@ -31,7 +31,8 @@ def segmenter_init(key, genotype, num_classes: int, *, agg_size: int = 48,
 
 def segmenter_apply(genotype, params, stats, x, *, train: bool = False,
                     with_aux: bool = False, align_corners: bool = True,
-                    freeze_encoder: bool = False, family: str = None):
+                    freeze_encoder: bool = False, family: str = None,
+                    input_format: str = "nhwc3"):
     """x: [N, H, W, 3] (H, W multiples of 32) -> (logits, aux_list, stats).
 
     freeze_encoder: run the encoder in eval mode (no BN stat updates) and
@@ -44,7 +45,7 @@ def segmenter_apply(genotype, params, stats, x, *, train: bool = False,
     fam = get_family(family) if family else infer_family(genotype)
     enc_train = train and not freeze_encoder
     taps, enc_stats = mbv2_apply(params["encoder"], stats["encoder"], x,
-                                 train=enc_train)
+                                 train=enc_train, input_format=input_format)
     if freeze_encoder:
         taps = [jax.lax.stop_gradient(t) for t in taps]
     logits, aux, dec_stats = fam.apply(

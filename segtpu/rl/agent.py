@@ -31,6 +31,7 @@ class Agent(NamedTuple):
     state: AgentState
     algo: str
     update_fn: Callable  # jitted (state, actions, reward[, old_logprobs])
+    batch_update_fn: Callable = None  # fleet: (state, actions[K], rewards[K])
 
 
 def create_agent(key, *, spec: MicroControllerSpec = MicroControllerSpec(),
@@ -85,9 +86,57 @@ def create_agent(key, *, spec: MicroControllerSpec = MicroControllerSpec(),
                     + (1 - baseline_decay) * reward)
         return AgentState(params, opt_state, baseline), losses[-1]
 
+    def reinforce_batch_update(state: AgentState, actions, rewards):
+        """Population update: K sampled archs, K rewards in one step
+        (the fleet path — reference equivalent: sequential train_agent
+        calls; one batched update is the variance-reduced form)."""
+        def loss_fn(params):
+            logprobs, entropies = jax.vmap(
+                lambda a: ctrl.evaluate(params, spec, a))(actions)
+            adv = rewards - state.baseline
+            pg = -jnp.mean(jnp.sum(logprobs, -1) * adv)
+            ent = -entropy_coef * jnp.mean(jnp.sum(entropies, -1))
+            return pg + ent
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        baseline = (baseline_decay * state.baseline
+                    + (1 - baseline_decay) * jnp.mean(rewards))
+        return AgentState(params, opt_state, baseline), loss
+
+    def ppo_batch_update(state: AgentState, actions, rewards, old_logprobs):
+        adv = rewards - state.baseline
+        old_sum = jnp.sum(old_logprobs, -1)
+
+        def loss_fn(params):
+            logprobs, entropies = jax.vmap(
+                lambda a: ctrl.evaluate(params, spec, a))(actions)
+            ratio = jnp.exp(jnp.sum(logprobs, -1) - old_sum)
+            clipped = jnp.clip(ratio, 1 - ppo_clip, 1 + ppo_clip)
+            pg = -jnp.mean(jnp.minimum(ratio * adv, clipped * adv))
+            ent = -entropy_coef * jnp.mean(jnp.sum(entropies, -1))
+            return pg + ent
+
+        def epoch(st, _):
+            params, opt_state = st
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (state.params, state.opt_state), None, length=ppo_epochs)
+        baseline = (baseline_decay * state.baseline
+                    + (1 - baseline_decay) * jnp.mean(rewards))
+        return AgentState(params, opt_state, baseline), losses[-1]
+
     update_fn = jax.jit(reinforce_update if algo == "reinforce"
                         else ppo_update)
-    return Agent(spec, state, algo, update_fn)
+    batch_update_fn = jax.jit(reinforce_batch_update if algo == "reinforce"
+                              else ppo_batch_update)
+    return Agent(spec, state, algo, update_fn, batch_update_fn)
 
 
 def sample_genotype(agent: Agent, key):
@@ -101,6 +150,23 @@ def sample_genotype(agent: Agent, key):
     else:
         genotype = ctrl.genotype_from_actions(actions, agent.spec)
     return genotype, actions, logprobs, entropies
+
+
+def train_agent_batch(agent: Agent, actions_batch, rewards, *,
+                      old_logprobs_batch=None) -> Agent:
+    """Population policy update from K (actions, reward) pairs — the
+    fleet-search path (BASELINE.json config 5)."""
+    actions_batch = jnp.asarray(actions_batch, jnp.int32)
+    rewards = jnp.asarray(rewards, jnp.float32)
+    if agent.algo == "reinforce":
+        new_state, _ = agent.batch_update_fn(agent.state, actions_batch,
+                                             rewards)
+    else:
+        assert old_logprobs_batch is not None
+        new_state, _ = agent.batch_update_fn(agent.state, actions_batch,
+                                             rewards,
+                                             jnp.asarray(old_logprobs_batch))
+    return agent._replace(state=new_state)
 
 
 def train_agent(agent: Agent, actions, reward, *, old_logprobs=None) -> Agent:

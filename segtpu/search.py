@@ -78,11 +78,14 @@ def _make_decoder_eval_step(genotype, num_classes: int, fam):
 
 def proxy_train(genotype, enc_params, enc_stats, cfg: SearchConfig,
                 cached_train, cached_val, train_loader, val_loader, *,
-                rng_seed: int = 0):
+                rng_seed: int = 0, teacher_fn=None):
     """Two-stage proxy training of one genotype -> (miou1, miou2).
 
-    cached_train/cached_val: device-resident tap batches (stage 1).
-    train_loader/val_loader: image loaders (stage 2 end-to-end).
+    cached_train/cached_val: device-resident tap batches (stage 1;
+    batches may carry precomputed 'teacher' logits for KD).
+    train_loader/val_loader: image loaders (stage 2 end-to-end);
+    teacher_fn (jitted image->logits) supplies KD targets per augmented
+    batch when cfg.do_kd (reference --do-kd/--kd-coeff, SURVEY.md §2#15).
     """
     from segtpu.models.families import infer_family
     fam = infer_family(genotype)
@@ -129,6 +132,8 @@ def proxy_train(genotype, enc_params, enc_stats, cfg: SearchConfig,
         for batch in train_loader:
             batch = {"image": jnp.asarray(batch["image"], jnp.float32),
                      "label": jnp.asarray(batch["label"])}
+            if teacher_fn is not None:
+                batch["teacher"] = teacher_fn(batch["image"])
             state2, loss = step2(state2, batch)
 
     eval_full = make_eval_step(genotype, num_classes=cfg.num_classes)
@@ -152,8 +157,12 @@ def compute_reward(miou1: float, miou2: float) -> float:
 
 
 def run_search(cfg: SearchConfig, *, dataset=None,
-               enc_params=None, enc_stats=None):
-    """The full NAS loop. Returns the SearchSaver (history + best archs)."""
+               enc_params=None, enc_stats=None, teacher=None):
+    """The full NAS loop. Returns the SearchSaver (history + best archs).
+
+    teacher: optional (genotype, params, stats) of a trained segmenter;
+    with cfg.do_kd its soft targets are distilled into every proxy
+    training (the CVPR'19 acceleration, reference --do-kd)."""
     key = jax.random.PRNGKey(cfg.seed)
     k_enc, k_agent, k_loop = jax.random.split(key, 3)
 
@@ -179,6 +188,22 @@ def run_search(cfg: SearchConfig, *, dataset=None,
     log.info("caching encoder features for stage-1 proxy training")
     cached_train = _cache_taps(enc_params, enc_stats, cache_train_loader)
     cached_val = _cache_taps(enc_params, enc_stats, cache_val_loader)
+
+    teacher_fn = None
+    if cfg.do_kd and teacher is not None:
+        tg, tp, ts = teacher
+        from segtpu.models.segmenter import segmenter_apply
+
+        @jax.jit
+        def teacher_fn(img):
+            logits, _, _ = segmenter_apply(tg, tp, ts, img, train=False)
+            return jax.lax.stop_gradient(logits)
+
+        # stage-1 KD targets: teacher logits for the fixed cache crops
+        for cached, loader in ((cached_train, cache_train_loader),):
+            for batch, host in zip(cached, loader):
+                batch["teacher"] = teacher_fn(
+                    jnp.asarray(host["image"], jnp.float32))
 
     if cfg.ctrl_version in ("wacv", "template"):
         from segtpu.rl.controller import TemplateControllerSpec
@@ -212,7 +237,7 @@ def run_search(cfg: SearchConfig, *, dataset=None,
             miou1, miou2 = proxy_train(
                 genotype, enc_params, enc_stats, cfg,
                 cached_train, cached_val, train_loader, val_loader,
-                rng_seed=cfg.seed + step)
+                rng_seed=cfg.seed + step, teacher_fn=teacher_fn)
             reward = compute_reward(miou1, miou2)
             status = "ok"
         except GenotypeError as e:  # invalid arch -> ~zero reward

@@ -40,7 +40,17 @@ def create_ctrl_optimiser(lr: float = 1e-4):
     return optax.adam(lr)
 
 
-def polyak_update(avg_params, params, decay: float = 0.99):
-    """Polyak weight averaging (reference --do-polyak, CVPR'19 §3.4)."""
+def polyak_update(avg_params, params, decay: float = 0.99, step=None):
+    """Polyak weight averaging (reference --do-polyak, CVPR'19 §3.4).
+
+    With ``step`` given, the effective decay is
+    ``min(decay, step / (step + 1))`` — a true running mean during the
+    first 1/(1-decay) steps. Matters for the short proxy trainings of
+    the search: a fixed 0.99 decay over ~10 steps would evaluate weights
+    that are still ~90% random init."""
+    if step is not None:
+        import jax.numpy as jnp
+        step = jnp.asarray(step, jnp.float32)
+        decay = jnp.minimum(decay, step / (step + 1.0))
     return jax.tree_util.tree_map(
         lambda a, p: decay * a + (1.0 - decay) * p, avg_params, params)

@@ -75,3 +75,25 @@ def test_segmenter_api_and_stream(arch1_model):
     # shape-bucket cache: two shapes -> two compiled entries
     seg.predict((np.random.rand(32, 32, 3) * 255).astype(np.uint8))
     assert len(seg._cache) == 2
+
+
+def test_s2d_fused_path_matches_classic(arch1_model):
+    """Engine s2d fast path == classic normalize+pad path, incl. the
+    pad-to-stride margin (40x72 -> padded 64x96)."""
+    genotype, params, stats = arch1_model
+    img = (np.random.RandomState(3).rand(40, 72, 3) * 255).astype(np.uint8)
+    fn_s2d = build_infer_fn(genotype, num_classes=7, input_hw=(40, 72),
+                            compute_dtype=jnp.float32, use_pallas=False)
+    # reference chain: host prepare_img -> zero-pad -> forward -> resize
+    from segtpu.core.resize import resize_bilinear
+    from segtpu.models.segmenter import segmenter_apply
+    from segtpu.utils.helpers import prepare_img
+    x = jnp.asarray(prepare_img(img))[None]
+    x = jnp.pad(x, ((0, 0), (0, 24), (0, 24), (0, 0)))
+    logits, _, _ = segmenter_apply(genotype, params, stats, x)
+    ref = resize_bilinear(logits.astype(jnp.float32), (64, 96),
+                          compute_dtype=jnp.float32)[:, :40, :72]
+    want = np.asarray(jnp.argmax(ref, -1))[0].astype(np.uint8)
+
+    got = np.asarray(fn_s2d(params, stats, jnp.asarray(img)))
+    assert (got == want).mean() > 0.999  # identical up to fp ties

@@ -109,3 +109,15 @@ def test_segmenter_freeze_encoder_blocks_grads():
                    for v in jax.tree_util.tree_leaves(g["decoder"]))
     assert enc_norm == 0.0
     assert dec_norm > 0.0
+
+
+def test_space_to_depth_stem_exact():
+    """Folded 2x2 s2d stem == original 3x3/s2 stem (encoders.stem_s2d_kernel)."""
+    from segtpu.models.encoders import space_to_depth, mbv2_apply as enc_apply
+    p, s = mbv2_init(jax.random.PRNGKey(3))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 64, 3), jnp.float32)
+    taps_a, _ = enc_apply(p, s, x)
+    taps_b, _ = enc_apply(p, s, space_to_depth(x), input_format="s2d12")
+    for a, b in zip(taps_a, taps_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
