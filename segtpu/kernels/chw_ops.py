@@ -1,0 +1,273 @@
+"""Pallas decoder ops in flat-pixel CHW layout: conv/dw/sep + folded BN.
+
+Why: the decoder runs every op at 48 channels. In the default NHWC
+layout XLA pads the channel (lane) dim 48 -> 128, wasting ~2.7x of both
+bandwidth and compute lanes — measured: a 48ch conv1x1 at 8×256×512 runs
+at 2.4 TFLOP/s (sub-2% of its lane-adjusted MXU ceiling). These kernels
+use the layout [C, P] with P = H·W flattened pixels:
+
+  * channels sit in sublanes (exactly C of them, no 128-padding),
+    pixels in lanes (H·W-wide — always fully occupied);
+  * a spatial tap (dy, dx) is a STATIC lane shift by dy*W + dx of the
+    [C, 3·TILE] halo-stacked tile, with an iota-derived validity mask
+    reproducing SAME zero-padding (rows via p//W, cols via p%W);
+  * channel mixing is a plain 2D [Cout, Cin] x [Cin, TILE] MXU matmul —
+    the Mosaic-canonical form (3D dots / shape-collapses don't lower);
+  * BN (eval) is pre-folded into weights, ReLU applied in-register;
+  * sep conv fuses dw + pw in ONE kernel: the depthwise intermediate
+    never touches HBM.
+
+Row-tiles take their halo from the neighbouring blocks (three clamped
+views of x), so dilations 3/6/12 need no DMA plumbing. Eval/inference
+fast path only (segtpu.models.fast_decoder); training and CPU keep the
+NHWC reference implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def fold_bn(w, scale, bias, mean, var, eps: float = 1e-5):
+    """conv weight HWIO + BN -> (w_folded HWIO, bias_folded)."""
+    inv = scale * jax.lax.rsqrt(jnp.asarray(var, jnp.float32) + eps)
+    return w * inv, bias - mean * inv
+
+
+def _taps(k: int, dilation: int, h: int, w: int):
+    """(tap index, dy, dx) triples; taps that can never touch the image
+    (|dy| >= h or |dx| >= w — possible for dil 12 on tiny maps) are
+    dropped at trace time: they contribute only SAME-padding zeros, and
+    dropping them also keeps every halo slice in-bounds."""
+    half = k // 2
+    out = []
+    for ky in range(k):
+        for kx in range(k):
+            dy, dx = dilation * (ky - half), dilation * (kx - half)
+            if abs(dy) < h and abs(dx) < w:
+                out.append((ky * k + kx, dy, dx))
+    return out
+
+
+def _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p: int, w: int,
+                  h: int):
+    """Halo-stack the three tile views and zero all out-of-image rows
+    ONCE (instead of per tap): [C, 3*tile_p] f32."""
+    stack = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]],
+                            axis=1).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * tile_p), 1)
+    row = row0 - (tile_p // w) + p // w
+    return jnp.where((row >= 0) & (row < h), stack, 0.0)
+
+
+def _col_masks(taps, tile_p: int, w: int):
+    """Column-validity is static per dx: one 0/1 f32 mask per distinct
+    dx (shared across rows of taps)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
+    col = p % w
+    return {dx: ((col + dx >= 0) & (col + dx < w)).astype(jnp.float32)
+            for dx in sorted({t[2] for t in taps})}
+
+
+def _shifted(stack_masked, col_masks, tile_p: int, dy: int, dx: int,
+             w: int):
+    """The (dy, dx) tap of the central tile, [C, tile_p] f32; rows were
+    pre-masked in the stack, columns by the per-dx constant mask."""
+    base = tile_p + dy * w + dx
+    xs = stack_masked[:, base:base + tile_p]
+    if dx == 0:
+        return xs
+    return xs * col_masks[dx]
+
+
+def _pw_kernel(wm_ref, b_ref, x_ref, out_ref, *, relu: bool):
+    """1x1 conv: no halo, no masks — one MXU dot per tile."""
+    y = jax.lax.dot_general(
+        wm_ref[0].astype(jnp.float32), x_ref[0].astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    y = y + b_ref[:].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, out_ref, *,
+                 k: int, dilation: int, depthwise: bool, h: int, w: int,
+                 tile_p: int, relu: bool):
+    ti = pl.program_id(1)
+    row0 = ti * (tile_p // w)
+    taps = _taps(k, dilation, h, w)
+    stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h)
+    cmasks = _col_masks(taps, tile_p, w)
+    c_out = out_ref.shape[1]
+    acc = jnp.zeros((c_out, tile_p), jnp.float32)
+    for j, dy, dx in taps:
+        xs = _shifted(stack, cmasks, tile_p, dy, dx, w)
+        if depthwise:
+            acc = acc + wm_ref[j].astype(jnp.float32) * xs
+        else:
+            acc = acc + jax.lax.dot_general(
+                wm_ref[j].astype(jnp.float32), xs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    y = acc + b_ref[:].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
+                out_ref, *, k: int, dilation: int, h: int, w: int,
+                tile_p: int):
+    ti = pl.program_id(1)
+    row0 = ti * (tile_p // w)
+    taps = _taps(k, dilation, h, w)
+    stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h)
+    cmasks = _col_masks(taps, tile_p, w)
+    c = stack.shape[0]
+    acc = jnp.zeros((c, tile_p), jnp.float32)
+    for j, dy, dx in taps:
+        acc = acc + wdw_ref[j].astype(jnp.float32) * _shifted(
+            stack, cmasks, tile_p, dy, dx, w)
+    mid = jnp.maximum(acc + bdw_ref[:].astype(jnp.float32), 0.0)
+    y = jax.lax.dot_general(
+        wpw_ref[0].astype(jnp.float32), mid, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + bpw_ref[:].astype(jnp.float32), 0.0)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _x_specs(c, tile_p, n_tiles):
+    def spec(fn):
+        return pl.BlockSpec((1, c, tile_p),
+                            lambda bi, i: (bi, 0, fn(i)),
+                            memory_space=pltpu.VMEM)
+    return [
+        spec(lambda i: jnp.maximum(i - 1, 0)),
+        spec(lambda i: i),
+        spec(lambda i: jnp.minimum(i + 1, n_tiles - 1)),
+    ]
+
+
+def _full_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda bi, i: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _flatten(x, rows_per_tile):
+    """[B, C, H, W] -> ([B, C, Hp*W], Hp) with rows padded to the tile."""
+    b, c, h, w = x.shape
+    hp = _round_up(h, rows_per_tile)
+    if hp != h:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+    return x.reshape(b, c, hp * w), hp
+
+
+def _pick_rows(h: int, w: int, dilation: int, k: int) -> int:
+    """Rows per tile. Invariants that keep every halo slice in-bounds:
+    rows > effective halo (min(dil*(k//2), h-1)), so |dy| <= rows-1 and
+    with |dx| <= w-1 the static slice start tile_p + dy*w + dx >= 1.
+    Target ~16k pixels per tile for VMEM headroom."""
+    halo = min(dilation * (k // 2), max(h - 1, 0))
+    # ~4k pixels/tile: 3 halo-stacked bf16 input views + f32 accumulator
+    # stay well under the 16MB scoped-VMEM limit with the unrolled taps
+    rows = max(halo + 1, min(h, max(4096 // w, 8)))
+    return rows
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dilation", "depthwise",
+                                             "relu", "interpret"))
+def conv_chw(x, w_folded, bias, *, k: int, dilation: int = 1,
+             depthwise: bool = False, relu: bool = True,
+             interpret: bool = False):
+    """x [B, C, H, W]; w_folded HWIO (BN pre-folded) -> [B, Cout, H, W]."""
+    b, c, h, w = x.shape
+    if depthwise:
+        wm = jnp.transpose(w_folded, (0, 1, 3, 2)).reshape(k * k, c, 1)
+        c_out = c
+    else:
+        c_out = w_folded.shape[3]
+        wm = jnp.transpose(w_folded, (0, 1, 3, 2)).reshape(k * k, c_out,
+                                                           w_folded.shape[2])
+    rows = _pick_rows(h, w, dilation, k)
+    xf, hp = _flatten(x, rows)
+    tile_p = rows * w
+    n_tiles = hp * w // tile_p
+    if k == 1 and not depthwise and hp == h:
+        # pointwise fast path: single view, no halo, no masks
+        out = pl.pallas_call(
+            functools.partial(_pw_kernel, relu=relu),
+            out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
+            grid=(b, n_tiles),
+            in_specs=[_full_spec(wm.shape),
+                      _full_spec((c_out, 1)),
+                      pl.BlockSpec((1, c, tile_p),
+                                   lambda bi, i: (bi, 0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, c_out, tile_p),
+                                   lambda bi, i: (bi, 0, i),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(wm, bias.reshape(c_out, 1), xf)
+        return out.reshape(b, c_out, hp, w)
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, k=k, dilation=dilation,
+                          depthwise=depthwise, h=h, w=w, tile_p=tile_p,
+                          relu=relu),
+        out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
+        grid=(b, n_tiles),
+        in_specs=[_full_spec(wm.shape),
+                  _full_spec((c_out, 1)),
+                  *_x_specs(c, tile_p, n_tiles)],
+        out_specs=pl.BlockSpec((1, c_out, tile_p),
+                               lambda bi, i: (bi, 0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wm, bias.reshape(c_out, 1), xf, xf, xf)
+    return out.reshape(b, c_out, hp, w)[:, :, :h]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dilation", "interpret"))
+def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, *, k: int, dilation: int = 1,
+                 interpret: bool = False):
+    """Fused separable conv (dw kxk + BN + ReLU + pw 1x1 + BN + ReLU),
+    all BN pre-folded. x [B, C, H, W] -> [B, Cout, H, W]."""
+    b, c, h, w = x.shape
+    wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(k * k, c, 1)
+    c_out = w_pw.shape[3]
+    wpw = jnp.transpose(w_pw, (0, 1, 3, 2)).reshape(1, c_out, c)
+    rows = _pick_rows(h, w, dilation, k)
+    xf, hp = _flatten(x, rows)
+    tile_p = rows * w
+    n_tiles = hp * w // tile_p
+    out = pl.pallas_call(
+        functools.partial(_sep_kernel, k=k, dilation=dilation, h=h, w=w,
+                          tile_p=tile_p),
+        out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
+        grid=(b, n_tiles),
+        in_specs=[_full_spec(wdw.shape),
+                  _full_spec((c, 1)),
+                  _full_spec(wpw.shape),
+                  _full_spec((c_out, 1)),
+                  *_x_specs(c, tile_p, n_tiles)],
+        out_specs=pl.BlockSpec((1, c_out, tile_p),
+                               lambda bi, i: (bi, 0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wdw, b_dw.reshape(c, 1), wpw, b_pw.reshape(c_out, 1), xf, xf, xf)
+    return out.reshape(b, c_out, hp, w)[:, :, :h]

@@ -65,10 +65,11 @@ def _kernel(ah_ref, awt_ref, x_ref, out_ref, *, num_classes: int):
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "crop_hw",
                                              "align_corners", "tile_h",
-                                             "interpret"))
+                                             "channel_first", "interpret"))
 def upsample_argmax(logits, out_hw, *, crop_hw=None,
                     align_corners: bool = True,
-                    tile_h: int = 128, interpret: bool = False):
+                    tile_h: int = 128, channel_first: bool = False,
+                    interpret: bool = False):
     """[B, h, w, K] (or [h, w, K]) logits -> [B, H, W] (or [H, W]) uint8.
 
     Equivalent to
@@ -76,11 +77,17 @@ def upsample_argmax(logits, out_hw, *, crop_hw=None,
     with f32 interpolation arithmetic. ``crop_hw`` (<= out_hw) drops the
     pad-to-stride margin by slicing the interpolation matrices — exactly
     equal to upsampling to the padded grid and cropping after.
+
+    channel_first: logits are already [B, K, h, w] (the fast-decoder
+    output layout) — skips the internal transpose.
     """
     squeeze = logits.ndim == 3
     if squeeze:
         logits = logits[None]
-    b, h, w, k = logits.shape
+    if channel_first:
+        b, k, h, w = logits.shape
+    else:
+        b, h, w, k = logits.shape
     grid_h, grid_w = int(out_hw[0]), int(out_hw[1])
     h_out, w_out = (int(crop_hw[0]), int(crop_hw[1])) if crop_hw else \
         (grid_h, grid_w)
@@ -92,7 +99,7 @@ def upsample_argmax(logits, out_hw, *, crop_hw=None,
     awt = np.ascontiguousarray(
         _interp_matrix(w, grid_w, align_corners).T[:, :w_out])  # [w, W]
 
-    x = jnp.transpose(logits, (0, 3, 1, 2))               # [B, K, h, w]
+    x = logits if channel_first else jnp.transpose(logits, (0, 3, 1, 2))
 
     grid = (b, h_pad // tile_h)
     out = pl.pallas_call(

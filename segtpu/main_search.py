@@ -109,6 +109,38 @@ def cmd_infer(args):
     print(f"wrote {out}: classes {sorted(np.unique(mask).tolist())}")
 
 
+def cmd_train(args):
+    import jax
+    from segtpu.data.datasets import (SegmentationDataset, SyntheticDataset,
+                                      BatchLoader)
+    from segtpu.models import ARCHS
+    from segtpu.train import TrainConfig, run_training
+
+    genotype = ARCHS[args.arch] if args.arch in ARCHS else eval(args.arch)
+    if args.synthetic or not args.train_list:
+        ds = SyntheticDataset(n=32, hw=tuple(args.crop_size),
+                              num_classes=args.num_classes)
+        val_ds = ds
+    else:
+        ds = SegmentationDataset(args.data_root, args.train_list)
+        val_ds = SegmentationDataset(args.data_root,
+                                     args.val_list or args.train_list)
+    train_loader = BatchLoader(ds, batch_size=args.batch_size,
+                               crop=tuple(args.crop_size), train=True,
+                               shorter_side=args.shorter_side)
+    val_loader = BatchLoader(val_ds, batch_size=args.batch_size,
+                             crop=tuple(args.crop_size), train=False)
+    cfg = TrainConfig(num_classes=args.num_classes,
+                      crop_size=tuple(args.crop_size),
+                      batch_size=args.batch_size,
+                      num_epochs=args.num_epochs,
+                      snapshot_dir=args.snapshot_dir,
+                      data_parallel=args.data_parallel,
+                      val_every=args.val_every)
+    best, _ = run_training(genotype, train_loader, val_loader, cfg)
+    print(f"best val mIoU: {best:.4f} (checkpoint in {cfg.snapshot_dir})")
+
+
 def cmd_eval(args):
     import numpy as np
     import jax
@@ -166,6 +198,23 @@ def main(argv=None):
     pi.add_argument("--ckpt", default="")
     pi.add_argument("--output", default="")
     pi.set_defaults(fn=cmd_infer)
+
+    pt = sub.add_parser("train", help="train a fixed architecture")
+    pt.add_argument("--arch", default="arch0",
+                    help="arch0/1/2 or a genotype literal")
+    pt.add_argument("--data-root", default="")
+    pt.add_argument("--train-list", default="")
+    pt.add_argument("--val-list", default="")
+    pt.add_argument("--synthetic", action="store_true")
+    pt.add_argument("--num-classes", type=int, default=21)
+    pt.add_argument("--crop-size", type=int, nargs=2, default=[512, 512])
+    pt.add_argument("--shorter-side", type=int, default=512)
+    pt.add_argument("--batch-size", type=int, default=16)
+    pt.add_argument("--num-epochs", type=int, default=100)
+    pt.add_argument("--val-every", type=int, default=5)
+    pt.add_argument("--snapshot-dir", default="snapshots/train")
+    pt.add_argument("--data-parallel", action="store_true")
+    pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("eval", help="mIoU over a .lst manifest")
     pe.add_argument("--arch", default="arch0")

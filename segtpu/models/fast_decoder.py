@@ -1,0 +1,154 @@
+"""Inference fast path: the micro-decoder in CHW layout on Pallas ops.
+
+Semantically identical to micro_decoders.micro_decoder_apply in eval
+mode (tested against it), but every conv runs as a
+segtpu.kernels.chw_ops kernel: channels in sublanes, W in lanes — no
+48->128 lane padding — BN folded into weights at build time, sep-convs
+fused into single kernels, and the output stays channel-first so it
+feeds segtpu.kernels.upsample_argmax without a transpose.
+
+Eval-only by design (BN folding); training uses the NHWC reference path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from segtpu.core.resize import _interp_matrix
+from segtpu.kernels.chw_ops import conv_chw, sep_conv_chw, fold_bn
+from segtpu.models.micro_decoders import _cell_collect_inds, \
+    _decoder_collect_inds, validate_genotype
+from segtpu.ops.layer_factory import OP_NAMES, _CONV_SPECS
+
+
+def _fold(p, s):
+    return fold_bn(p["w"], p["scale"], p["bias"], s["mean"], s["var"])
+
+
+def _resize_chw(x, out_hw, align_corners=True):
+    h, w = x.shape[-2], x.shape[-1]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (h, w) == (oh, ow):
+        return x
+    ah = jnp.asarray(_interp_matrix(h, oh, align_corners))
+    aw = jnp.asarray(_interp_matrix(w, ow, align_corners))
+    y = x.astype(jnp.float32)
+    y = jnp.einsum("oh,bchw->bcow", ah, y)
+    y = jnp.einsum("pw,bcow->bcop", aw, y)
+    return y.astype(x.dtype)
+
+
+class _Op:
+    """One materialized cell op: folded weights + a CHW apply."""
+
+    def __init__(self, name: str, params, stats, interpret: bool):
+        self.name = name
+        self.interpret = interpret
+        if name in ("skip_connect", "none"):
+            self.kind = name
+        elif name == "global_average_pool":
+            self.kind = "gap"
+            wf, bf = _fold(params["conv"], stats["conv"])
+            self.wm = wf[0, 0]          # [Cin, Cout]
+            self.b = bf
+        else:
+            k, dil, sep = _CONV_SPECS[name]
+            self.k, self.dil = k, dil
+            if sep:
+                self.kind = "sep"
+                self.reps = []
+                for p, s in zip(params["reps"], stats["reps"]):
+                    wd, bd = _fold(p["dw"], s["dw"])
+                    wp, bp = _fold(p["pw"], s["pw"])
+                    self.reps.append((wd, bd, wp, bp))
+            else:
+                self.kind = "conv"
+                self.wf, self.bf = _fold(params["conv"], stats["conv"])
+
+    def __call__(self, x):
+        if self.kind == "none":
+            return jnp.zeros_like(x)
+        if self.kind == "skip_connect":
+            return x
+        if self.kind == "gap":
+            pooled = jnp.mean(x.astype(jnp.float32), axis=(2, 3))  # [B, C]
+            y = jnp.maximum(pooled @ self.wm.astype(jnp.float32)
+                            + self.b.astype(jnp.float32), 0.0)
+            y = y.astype(x.dtype)
+            return jnp.broadcast_to(y[:, :, None, None],
+                                    (x.shape[0], y.shape[1]) + x.shape[2:])
+        if self.kind == "sep":
+            for wd, bd, wp, bp in self.reps:
+                x = sep_conv_chw(x, wd, bd, wp, bp, k=self.k,
+                                 dilation=self.dil, interpret=self.interpret)
+            return x
+        return conv_chw(x, self.wf, self.bf, k=self.k, dilation=self.dil,
+                        interpret=self.interpret)
+
+
+def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
+                       interpret: bool = False):
+    """-> apply(taps_nhwc) giving channel-first logits [B, K, h, w].
+
+    Folds all BN at build time; taps enter NHWC (straight from the
+    encoder) and are transposed once.
+    """
+    validate_genotype(genotype, num_inputs=len(params["adapt"]))
+    cell_config, conns = genotype
+
+    adapts = [(_fold(p, s)) for p, s in zip(params["adapt"], stats["adapt"])]
+    blocks = []
+    for bp, bs in zip(params["blocks"], stats["blocks"]):
+        blk: Dict[str, Any] = {
+            "agg1": _fold(bp["agg"]["branch1"], bs["agg"]["branch1"]),
+            "agg2": _fold(bp["agg"]["branch2"], bs["agg"]["branch2"]),
+            "node0": _Op(OP_NAMES[cell_config[0]], bp["cell"]["node0"],
+                         bs["cell"]["node0"], interpret),
+            "nodes": [],
+        }
+        for k, (p1, p2, o1, o2) in enumerate(cell_config[1:]):
+            blk["nodes"].append(
+                (_Op(OP_NAMES[o1], bp["cell"]["nodes"][k]["a"],
+                     bs["cell"]["nodes"][k]["a"], interpret),
+                 _Op(OP_NAMES[o2], bp["cell"]["nodes"][k]["b"],
+                     bs["cell"]["nodes"][k]["b"], interpret)))
+        blocks.append(blk)
+    clf_w, clf_b = params["clf"]["w"], params["clf"]["b"]
+    collect = _decoder_collect_inds(conns, len(params["adapt"]))
+    cell_collect = _cell_collect_inds(cell_config)
+
+    def pw(x, wf, bf, relu=True):
+        return conv_chw(x, wf, bf, k=1, relu=relu, interpret=interpret)
+
+    def apply(taps):
+        pool: List[Any] = []
+        for t, (wf, bf) in zip(taps, adapts):
+            x = jnp.transpose(t, (0, 3, 1, 2))
+            pool.append(pw(x, wf, bf))
+        for blk, (i, j) in zip(blocks, conns):
+            y1 = pw(pool[i], *blk["agg1"])
+            y2 = pw(pool[j], *blk["agg2"])
+            hw = (max(y1.shape[2], y2.shape[2]),
+                  max(y1.shape[3], y2.shape[3]))
+            y = (_resize_chw(y1, hw, align_corners)
+                 + _resize_chw(y2, hw, align_corners))
+            outs = [y, blk["node0"](y)]
+            for (opa, opb), (p1, p2, _, _) in zip(blk["nodes"],
+                                                  cell_config[1:]):
+                outs.append(opa(outs[p1]) + opb(outs[p2]))
+            acc = None
+            for ci in cell_collect:
+                acc = outs[ci] if acc is None else acc + outs[ci]
+            pool.append(acc)
+        hw = (max(pool[i].shape[2] for i in collect),
+              max(pool[i].shape[3] for i in collect))
+        feats = jnp.concatenate(
+            [_resize_chw(pool[i], hw, align_corners) for i in collect],
+            axis=1)
+        return pw(feats, clf_w, clf_b, relu=False)
+
+    return apply

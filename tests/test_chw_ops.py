@@ -1,0 +1,85 @@
+"""CHW flat-pixel Pallas decoder ops vs the NHWC reference
+(interpret mode on CPU; compiled path exercised by bench on TPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from segtpu.core.layers import conv_bn_apply, conv_bn_init
+from segtpu.kernels.chw_ops import conv_chw, sep_conv_chw, fold_bn
+
+
+def _rand_cb(key, k, cin, cout, groups=1):
+    p, s = conv_bn_init(key, k, k, cin, cout, groups=groups)
+    rng = np.random.RandomState(0)
+    p["scale"] = jnp.asarray(rng.rand(cout).astype(np.float32) + 0.5)
+    p["bias"] = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    s["mean"] = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    s["var"] = jnp.asarray(rng.rand(cout).astype(np.float32) + 0.5)
+    return p, s
+
+
+def _nhwc_ref(p, s, x_nhwc, *, k, dilation, groups):
+    y, _ = conv_bn_apply(p, s, x_nhwc, dilation=dilation, groups=groups,
+                         act="relu", train=False)
+    return np.asarray(y)
+
+
+@pytest.mark.parametrize("k,dil,depthwise", [
+    (1, 1, False),
+    (3, 1, False),
+    (3, 3, False),
+    (3, 12, False),
+    (3, 1, True),
+    (5, 6, True),
+])
+def test_conv_chw_matches_nhwc(k, dil, depthwise):
+    c = 48
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 40, 64, c).astype(np.float32)  # H=40: ragged tiles
+    groups = c if depthwise else 1
+    p, s = _rand_cb(jax.random.PRNGKey(0), k, c, c, groups=groups)
+    want = _nhwc_ref(p, s, jnp.asarray(x), k=k, dilation=dil, groups=groups)
+
+    wf, bf = fold_bn(p["w"], p["scale"], p["bias"], s["mean"], s["var"])
+    x_chw = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+    got = conv_chw(x_chw, wf, bf, k=k, dilation=dil, depthwise=depthwise,
+                   interpret=True)
+    got = np.transpose(np.asarray(got), (0, 2, 3, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,dil", [(3, 1), (5, 1), (3, 3), (5, 6)])
+def test_sep_conv_chw_matches_nhwc(k, dil):
+    c = 48
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 32, 48, c).astype(np.float32)
+    pd, sd = _rand_cb(jax.random.PRNGKey(1), k, c, c, groups=c)
+    pp, sp = _rand_cb(jax.random.PRNGKey(2), 1, c, c)
+
+    y, _ = conv_bn_apply(pd, sd, jnp.asarray(x), dilation=dil, groups=c,
+                         act="relu", train=False)
+    want, _ = conv_bn_apply(pp, sp, y, act="relu", train=False)
+    want = np.asarray(want)
+
+    wd, bd = fold_bn(pd["w"], pd["scale"], pd["bias"], sd["mean"], sd["var"])
+    wp, bp = fold_bn(pp["w"], pp["scale"], pp["bias"], sp["mean"], sp["var"])
+    x_chw = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+    got = sep_conv_chw(x_chw, wd, bd, wp, bp, k=k, dilation=dil,
+                       interpret=True)
+    got = np.transpose(np.asarray(got), (0, 2, 3, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_chw_rectangular_cout():
+    """Cin != Cout (adapt convs: 320 -> 48)."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 16, 32, 24).astype(np.float32)
+    p, s = _rand_cb(jax.random.PRNGKey(3), 1, 24, 48)
+    want = _nhwc_ref(p, s, jnp.asarray(x), k=1, dilation=1, groups=1)
+    wf, bf = fold_bn(p["w"], p["scale"], p["bias"], s["mean"], s["var"])
+    got = conv_chw(jnp.transpose(jnp.asarray(x), (0, 3, 1, 2)), wf, bf,
+                   k=1, interpret=True)
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 2, 3, 1)),
+                               want, rtol=1e-4, atol=1e-4)
