@@ -30,6 +30,9 @@ from segtpu.utils.metrics import IGNORE_LABEL
 def _read_image(path: str) -> np.ndarray:
     if path.endswith(".npy"):
         return np.load(path)
+    from segtpu.data import native_io
+    if native_io.available():  # C++ GIL-free decode (native/segtpu_io.cc)
+        return native_io.decode_image(path)
     from PIL import Image
     img = Image.open(path)
     img = img.convert("RGB") if img.mode != "L" else img
@@ -39,17 +42,28 @@ def _read_image(path: str) -> np.ndarray:
 def _read_mask(path: str) -> np.ndarray:
     if path.endswith(".npy"):
         return np.load(path)
+    from segtpu.data import native_io
+    if native_io.available():
+        return native_io.decode_image(path)  # palette idx = class id
     from PIL import Image
     return np.asarray(Image.open(path))  # palette/uint8 PNG -> class ids
 
 
 class SegmentationDataset:
-    """.lst manifest dataset (reference Dataset subclass)."""
+    """.lst manifest dataset (reference Dataset subclass).
+
+    label_map: None (masks already train-id encoded, the reference's
+    convention) or a dataset name from data.label_maps ('cityscapes'
+    remaps raw labelIds -> 19 trainIds, etc.).
+    """
 
     def __init__(self, data_root: str, list_path: str,
-                 transform: Optional[Callable] = None):
+                 transform: Optional[Callable] = None,
+                 label_map: Optional[str] = None):
+        from segtpu.data.label_maps import LABEL_MAPS
         self.data_root = data_root
         self.transform = transform
+        self.label_map = LABEL_MAPS[label_map]
         self.pairs: List[Tuple[str, str]] = []
         with open(list_path) as f:
             for line in f:
@@ -62,9 +76,10 @@ class SegmentationDataset:
 
     def __getitem__(self, i):
         img_p, msk_p = self.pairs[i]
+        mask = _read_mask(os.path.join(self.data_root, msk_p)).astype(np.uint8)
         sample = {
             "image": _read_image(os.path.join(self.data_root, img_p)),
-            "mask": _read_mask(os.path.join(self.data_root, msk_p)).astype(np.uint8),
+            "mask": self.label_map(mask),
         }
         return sample
 

@@ -152,3 +152,78 @@ def test_decoder_torch_twin_logit_parity(arch):
 
     got, _, _ = micro_decoder_apply(genotype, params, stats, taps_np)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+class TorchTemplateDecoder(nn.Module):
+    """WACV template decoder twin; registration order mirrors
+    template_decoder_init."""
+
+    def __init__(self, genotype, inp_sizes, num_classes, agg=48):
+        super().__init__()
+        from segtpu.ops.layer_factory import AGG_OP_NAMES
+        from segtpu.models.template_decoders import template_conns
+        self.genotype = genotype
+        self.adapt = nn.ModuleList([cbr(c, agg) for c in inp_sizes])
+        blocks = []
+        for i, j, agg_op, op in genotype:
+            b = nn.Module()
+            if AGG_OP_NAMES[agg_op] == "psum":
+                b.b1 = cbr(agg, agg)
+                b.b2 = cbr(agg, agg)
+            else:
+                b.reduce = cbr(2 * agg, agg)
+            b.op = TorchOp(OP_NAMES[op], agg)
+            blocks.append(b)
+        self.blocks = nn.ModuleList(blocks)
+        n_collect = len(_decoder_collect_inds(template_conns(genotype),
+                                              len(inp_sizes)))
+        self.clf = nn.Conv2d(n_collect * agg, num_classes, 1, bias=True)
+
+    def forward(self, taps):
+        from segtpu.ops.layer_factory import AGG_OP_NAMES
+        from segtpu.models.template_decoders import template_conns
+        pool = [F.relu(a(t)) for a, t in zip(self.adapt, taps)]
+        for blk, (i, j, agg_op, op) in zip(self.blocks, self.genotype):
+            x1, x2 = pool[i], pool[j]
+            hw = (max(x1.shape[2], x2.shape[2]),
+                  max(x1.shape[3], x2.shape[3]))
+            if AGG_OP_NAMES[agg_op] == "psum":
+                y = up(F.relu(blk.b1(x1)), hw) + up(F.relu(blk.b2(x2)), hw)
+            else:
+                y = torch.cat([up(x1, hw), up(x2, hw)], dim=1)
+                y = F.relu(blk.reduce(y))
+            pool.append(blk.op(y))
+        collect = _decoder_collect_inds(template_conns(self.genotype),
+                                        len(taps))
+        hw = (max(pool[i].shape[2] for i in collect),
+              max(pool[i].shape[3] for i in collect))
+        return self.clf(torch.cat([up(pool[i], hw) for i in collect], dim=1))
+
+
+def test_template_decoder_torch_twin_logit_parity():
+    from segtpu.models.template_decoders import (
+        template_decoder_init, template_decoder_apply)
+    genotype = [[3, 2, 0, 2], [4, 1, 1, 0], [5, 0, 0, 9]]
+    torch.manual_seed(1)
+    twin = TorchTemplateDecoder(genotype, MBV2_TAP_CHANNELS,
+                                num_classes=6).eval()
+    with torch.no_grad():
+        for m in twin.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    from segtpu.convert.torch_import import match_by_shape_order
+    template = template_decoder_init(jax.random.PRNGKey(0), genotype,
+                                     MBV2_TAP_CHANNELS, num_classes=6)
+    params, stats = match_by_shape_order(twin.state_dict(), template)
+
+    rng = np.random.RandomState(5)
+    taps_np = [rng.randn(1, 16 // s, 24 // s, c).astype(np.float32)
+               for s, c in zip((1, 2, 4, 8), MBV2_TAP_CHANNELS)]
+    with torch.no_grad():
+        want = twin([torch.from_numpy(np.transpose(t, (0, 3, 1, 2)).copy())
+                     for t in taps_np])
+    want = np.transpose(want.numpy(), (0, 2, 3, 1))
+    got, _, _ = template_decoder_apply(genotype, params, stats, taps_np)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
