@@ -106,6 +106,11 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
                 # fast path: CHW Pallas decoder (BN folded, sep-convs
                 # fused, no 48->128 lane padding) feeding the fused
                 # upsample+argmax kernel channel-first
+                # encoder stays XLA NHWC: measured 2.3 ms/frame vs 4.0
+                # for the fused-CHW variant (models.fast_encoder) — XLA's
+                # conv pipeline wins at MobileNet channel counts. The
+                # decoder flips to the Pallas CHW fast path (3.1 -> 2.2
+                # ms/frame), where 48-channel lane padding hurts XLA.
                 from segtpu.kernels.upsample_argmax import upsample_argmax
                 from segtpu.models.encoders import mbv2_apply
                 from segtpu.models.fast_decoder import build_fast_decoder

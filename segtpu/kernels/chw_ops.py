@@ -271,3 +271,108 @@ def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, *, k: int, dilation: int = 1,
         interpret=interpret,
     )(wdw, b_dw.reshape(c, 1), wpw, b_pw.reshape(c_out, 1), xf, xf, xf)
     return out.reshape(b, c_out, hp, w)[:, :, :h]
+
+
+# ---------------------------------------------------------------------------
+# Fused inverted residual (MobileNet-v2 stride-1 block):
+# pw expand + BN + ReLU6 -> dw 3x3 + BN + ReLU6 -> pw project + BN
+# [+ residual], ONE kernel = one HBM round-trip instead of three.
+# The expand runs on the tile + 1-row halo window so the depthwise taps
+# never need HBM halo reads of the (in-kernel-only) expanded tensor.
+# ---------------------------------------------------------------------------
+
+
+def _relu6(x):
+    return jnp.clip(x, 0.0, 6.0)
+
+
+def _invres_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
+                   bproj_ref, xm_ref, x0_ref, xp_ref, out_ref, *,
+                   h: int, w: int, tile_p: int, expand: bool,
+                   residual: bool):
+    ti = pl.program_id(1)
+    row0 = ti * (tile_p // w)
+    stack = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]],
+                            axis=1).astype(jnp.float32)
+    # expand on the center tile + one halo row + 1px each side (the
+    # corner taps (±1, ±1) reach w+1 pixels out)
+    wpad = w + 1
+    win = stack[:, tile_p - wpad:2 * tile_p + wpad]  # [C, tile_p + 2wpad]
+    if expand:
+        mid = jax.lax.dot_general(
+            wexp_ref[0].astype(jnp.float32), win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mid = _relu6(mid + bexp_ref[:].astype(jnp.float32))
+    else:
+        mid = win
+    # zero rows outside the image AFTER the expand (SAME padding zeroes
+    # the dw input, which is the expand output, not the raw input)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p + 2 * wpad), 1)
+    row = row0 + (p - wpad) // w
+    mid = jnp.where((row >= 0) & (row < h), mid, 0.0)
+
+    taps = _taps(3, 1, h, w)
+    cmasks = _col_masks(taps, tile_p, w)
+    cmid = mid.shape[0]
+    acc = jnp.zeros((cmid, tile_p), jnp.float32)
+    for j, dy, dx in taps:
+        base = wpad + dy * w + dx
+        xs = mid[:, base:base + tile_p]
+        if dx != 0:
+            xs = xs * cmasks[dx]
+        acc = acc + wdw_ref[j].astype(jnp.float32) * xs
+    acc = _relu6(acc + bdw_ref[:].astype(jnp.float32))
+    y = jax.lax.dot_general(
+        wproj_ref[0].astype(jnp.float32), acc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + bproj_ref[:].astype(jnp.float32)
+    if residual:
+        y = y + x0_ref[0].astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("residual", "interpret"))
+def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
+                residual: bool = False, interpret: bool = False):
+    """Fused stride-1 inverted residual. x [B, C, H, W] -> [B, Cout, H, W].
+    All weights HWIO with BN pre-folded; pass w_exp=None for t=1 blocks.
+    """
+    b, c, h, w = x.shape
+    expand = w_exp is not None
+    cmid = w_dw.shape[3]
+    c_out = w_proj.shape[3]
+    # tile sized so the f32 expanded window fits VMEM comfortably
+    budget_px = max(1024, int(6e6 / (4 * cmid)))
+    rows = max(2, min(h, max(budget_px // w, 2)))
+    xf, hp = _flatten(x, rows)
+    tile_p = rows * w
+    n_tiles = hp * w // tile_p
+    if expand:
+        wexp = jnp.transpose(w_exp, (0, 1, 3, 2)).reshape(1, cmid, c)
+        bexp = b_exp.reshape(cmid, 1)
+    else:  # placeholders keep the arg list static
+        wexp = jnp.zeros((1, 1, 1), x.dtype)
+        bexp = jnp.zeros((1, 1), x.dtype)
+    wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(9, cmid, 1)
+    wproj = jnp.transpose(w_proj, (0, 1, 3, 2)).reshape(1, c_out, cmid)
+    out = pl.pallas_call(
+        functools.partial(_invres_kernel, h=h, w=w, tile_p=tile_p,
+                          expand=expand, residual=residual),
+        out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
+        grid=(b, n_tiles),
+        in_specs=[_full_spec(wexp.shape),
+                  _full_spec(bexp.shape),
+                  _full_spec(wdw.shape),
+                  _full_spec((cmid, 1)),
+                  _full_spec(wproj.shape),
+                  _full_spec((c_out, 1)),
+                  *_x_specs(c, tile_p, n_tiles)],
+        out_specs=pl.BlockSpec((1, c_out, tile_p),
+                               lambda bi, i: (bi, 0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wexp, bexp, wdw, b_dw.reshape(cmid, 1), wproj,
+      b_proj.reshape(c_out, 1), xf, xf, xf)
+    return out.reshape(b, c_out, hp, w)[:, :, :h]

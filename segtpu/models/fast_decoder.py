@@ -91,11 +91,13 @@ class _Op:
 
 
 def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
+                       taps_channel_first: bool = False,
                        interpret: bool = False):
-    """-> apply(taps_nhwc) giving channel-first logits [B, K, h, w].
+    """-> apply(taps) giving channel-first logits [B, K, h, w].
 
     Folds all BN at build time; taps enter NHWC (straight from the
-    encoder) and are transposed once.
+    reference encoder, transposed once) or already channel-first from
+    models.fast_encoder (taps_channel_first=True, transpose-free).
     """
     validate_genotype(genotype, num_inputs=len(params["adapt"]))
     cell_config, conns = genotype
@@ -127,7 +129,7 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
     def apply(taps):
         pool: List[Any] = []
         for t, (wf, bf) in zip(taps, adapts):
-            x = jnp.transpose(t, (0, 3, 1, 2))
+            x = t if taps_channel_first else jnp.transpose(t, (0, 3, 1, 2))
             pool.append(pw(x, wf, bf))
         for blk, (i, j) in zip(blocks, conns):
             y1 = pw(pool[i], *blk["agg1"])

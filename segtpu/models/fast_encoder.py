@@ -1,0 +1,99 @@
+"""EXPERIMENTAL: MobileNet-v2 in CHW on the fused Pallas block.
+
+Eval-only twin of encoders.mbv2_apply: BN folded at trace time, every
+stride-1 inverted residual runs as ONE Pallas kernel
+(kernels.chw_ops.inv_res_chw — expand+dw+project+residual in a single
+HBM round-trip), stride-2 blocks and the stem stay XLA convs expressed
+directly in NCHW dimension numbers. Taps come out channel-first, feeding
+models.fast_decoder without transposes.
+
+STATUS — measured SLOWER than the XLA NHWC encoder on v5e (4.0 vs 2.3
+ms/frame at 8×1024×2048): unlike the 48-channel decoder, MobileNet's
+channel counts don't suffer lane padding, and XLA's conv pipeline beats
+these kernels' tile scheduling. The engine therefore uses the XLA
+encoder; this module is kept (tested for exact parity) as the starting
+point for future tile-size/pipeline tuning.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from segtpu.kernels.chw_ops import fold_bn, inv_res_chw
+from segtpu.models.encoders import _MBV2_CFG, _TAP_STAGES, stem_s2d_kernel
+
+
+def _fold(p, s):
+    return fold_bn(p["w"], p["scale"], p["bias"], s["mean"], s["var"])
+
+
+def _conv_nchw(x, w_hwio, stride=1, groups=1):
+    return lax.conv_general_dilated(
+        x, jnp.transpose(w_hwio, (3, 2, 0, 1)).astype(x.dtype),
+        (stride, stride),
+        ((1, 1), (1, 1)) if w_hwio.shape[0] == 3 else "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups)
+
+
+def _relu6(x):
+    return jnp.clip(x, 0.0, 6.0)
+
+
+def fast_mbv2_apply(params, stats, x, *, input_format: str = "nhwc3",
+                    interpret: bool = False) -> List[jnp.ndarray]:
+    """Eval forward -> 4 CHW taps [B, C, H/s, W/s] (s = 4/8/16/32).
+
+    x: [B, H, W, 3] normalized (or [B, H/2, W/2, 12] with
+    input_format='s2d12' — the space-to-depth fast stem).
+    """
+    # stem (XLA): s2d-folded 2x2 or plain 3x3/s2, then to CHW once
+    wf, bf = _fold(params["stem"], stats["stem"])
+    if input_format == "s2d12":
+        w2 = stem_s2d_kernel(wf)
+        y = lax.conv_general_dilated(
+            x, w2.astype(x.dtype), (1, 1), ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    else:
+        y = lax.conv_general_dilated(
+            x, wf.astype(x.dtype), (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = _relu6(y + bf.astype(y.dtype))
+    y = jnp.transpose(y, (0, 3, 1, 2))  # -> CHW for the block stack
+
+    taps = []
+    bi = 0
+    cin = 32
+    for stage, (t, c, n, s) in enumerate(_MBV2_CFG):
+        for i in range(n):
+            stride = s if i == 0 else 1
+            residual = stride == 1 and cin == c
+            p, st = params["blocks"][bi], stats["blocks"][bi]
+            has_exp = "expand" in p
+            if stride == 1:
+                we, be = _fold(p["expand"], st["expand"]) if has_exp \
+                    else (None, None)
+                wd, bd = _fold(p["dw"], st["dw"])
+                wp, bp = _fold(p["project"], st["project"])
+                y = inv_res_chw(y, we, be, wd, bd, wp, bp,
+                                residual=residual, interpret=interpret)
+            else:  # stride-2 blocks: XLA NCHW convs (4 of 17 blocks)
+                z = y
+                if has_exp:
+                    we, be = _fold(p["expand"], st["expand"])
+                    z = _relu6(_conv_nchw(z, we) +
+                               be.astype(z.dtype)[:, None, None])
+                wd, bd = _fold(p["dw"], st["dw"])
+                z = _relu6(_conv_nchw(z, wd, stride=2, groups=z.shape[1]) +
+                           bd.astype(z.dtype)[:, None, None])
+                wp, bp = _fold(p["project"], st["project"])
+                y = _conv_nchw(z, wp) + bp.astype(z.dtype)[:, None, None]
+            cin = c
+            bi += 1
+        if stage in _TAP_STAGES:
+            taps.append(y)
+    return taps

@@ -1,0 +1,66 @@
+"""Fused inv-res kernel + CHW fast encoder == NHWC reference encoder."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from segtpu.core.layers import conv_bn_init
+from segtpu.kernels.chw_ops import fold_bn, inv_res_chw
+from segtpu.models.encoders import (
+    mbv2_init, mbv2_apply, _inv_res_apply, space_to_depth)
+from segtpu.models.fast_encoder import fast_mbv2_apply
+
+
+def _rand_stats(stats, seed=0):
+    rng = np.random.RandomState(seed)
+    return jax.tree_util.tree_map(
+        lambda v: jnp.asarray(rng.rand(*v.shape).astype(np.float32) + 0.5),
+        stats)
+
+
+@pytest.mark.parametrize("t,cin,cout,residual", [
+    (6, 16, 24, False),   # expand, channel change
+    (6, 32, 32, True),    # expand + residual
+    (1, 32, 16, False),   # no expand (first block)
+])
+def test_inv_res_kernel_matches_reference(t, cin, cout, residual):
+    from segtpu.models.encoders import _inv_res_init
+    key = jax.random.PRNGKey(0)
+    p, s = _inv_res_init(key, cin, cout, t, jnp.float32)
+    s = _rand_stats(s)
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 24, 40, cin).astype(np.float32)
+    want, _ = _inv_res_apply(p, s, jnp.asarray(x), stride=1, t=t,
+                             residual=residual, train=False)
+    want = np.asarray(want)
+
+    we, be = (fold_bn(p["expand"]["w"], p["expand"]["scale"],
+                      p["expand"]["bias"], s["expand"]["mean"],
+                      s["expand"]["var"]) if t != 1 else (None, None))
+    wd, bd = fold_bn(p["dw"]["w"], p["dw"]["scale"], p["dw"]["bias"],
+                     s["dw"]["mean"], s["dw"]["var"])
+    wp, bp = fold_bn(p["project"]["w"], p["project"]["scale"],
+                     p["project"]["bias"], s["project"]["mean"],
+                     s["project"]["var"])
+    x_chw = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+    got = inv_res_chw(x_chw, we, be, wd, bd, wp, bp, residual=residual,
+                      interpret=True)
+    got = np.transpose(np.asarray(got), (0, 2, 3, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("fmt", ["nhwc3", "s2d12"])
+def test_fast_encoder_matches_reference(fmt):
+    params, stats = mbv2_init(jax.random.PRNGKey(0))
+    stats = _rand_stats(stats, seed=2)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32))
+    want, _ = mbv2_apply(params, stats, x, train=False)
+    x_in = space_to_depth(x) if fmt == "s2d12" else x
+    got = fast_mbv2_apply(params, stats, x_in, input_format=fmt,
+                          interpret=True)
+    assert len(got) == 4
+    for g, wnt in zip(got, want):
+        g = np.transpose(np.asarray(g), (0, 2, 3, 1))
+        np.testing.assert_allclose(g, np.asarray(wnt), rtol=2e-3, atol=2e-4)
