@@ -1,0 +1,70 @@
+"""Batched multi-architecture throughput sweep (BASELINE.json config 4):
+arch0/1/2 CityScapes-shape inference with fused on-TPU preprocess.
+
+Prints one JSON line per (arch, shape) plus a summary. Methodology as
+bench.py (device-resident batched streaming, scalar-checksum sync).
+
+Usage: python scripts/bench_sweep.py [--batch 16] [--reps 6]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--hw", default="1024x2048")
+    args = ap.parse_args()
+    h, w = (int(v) for v in args.hw.split("x"))
+
+    import jax
+    import jax.numpy as jnp
+    from segtpu.models import ARCHS
+    from segtpu.models.segmenter import segmenter_init, count_params
+    from segtpu.engine.inference import build_infer_fn
+
+    dev = jax.devices()[0]
+    rng = np.random.RandomState(0)
+    frames = jax.device_put(
+        rng.randint(0, 256, size=(args.batch, h, w, 3), dtype=np.uint8), dev)
+
+    results = []
+    for arch in ("arch0", "arch1", "arch2"):
+        genotype = ARCHS[arch]
+        params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,
+                                       num_classes=19)
+        params = jax.device_put(params, dev)
+        stats = jax.device_put(stats, dev)
+        infer = build_infer_fn(genotype, num_classes=19, input_hw=(h, w),
+                               compute_dtype=jnp.bfloat16)
+
+        @jax.jit
+        def step(params, stats, x):
+            m = infer(params, stats, x)
+            return jnp.sum(m.astype(jnp.int32))
+
+        t0 = time.time()
+        _ = float(step(params, stats, frames))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(args.reps):
+            _ = float(step(params, stats, frames))
+        ips = args.batch * args.reps / (time.time() - t0)
+        rec = {"arch": arch, "params_m": round(count_params(params) / 1e6, 3),
+               "shape": f"{h}x{w}", "images_per_sec_per_chip": round(ips, 2),
+               "compile_s": round(compile_s, 1)}
+        results.append(rec)
+        print(json.dumps(rec))
+    print(json.dumps({"sweep": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -180,7 +180,9 @@ class Segmenter:
                                 input_hw=hw, align_corners=self.align_corners,
                                 compute_dtype=self.compute_dtype,
                                 return_logits=return_logits)
-            self._cache[key] = jax.jit(fn, donate_argnums=(2,))
+            # note: the uint8 input is not donated — its shape/dtype never
+            # matches an output buffer, so donation only produces warnings
+            self._cache[key] = jax.jit(fn)
         return self._cache[key]
 
     def predict(self, img_u8, *, return_logits: bool = False):

@@ -173,6 +173,41 @@ def cmd_eval(args):
     print(f"mIoU: {mean_iou(cm):.4f}")
 
 
+def cmd_fidelity(args):
+    """Per-pixel logit fidelity vs reference goldens (BASELINE config 2):
+    goldens are .npz files with 'image' (uint8 HWC) and 'logits'
+    (f32 [H,W,K], the reference's full-res logits for that image)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from segtpu.models import ARCHS
+    from segtpu.models.segmenter import segmenter_init
+    from segtpu.engine.inference import build_infer_fn
+
+    genotype = ARCHS[args.arch]
+    if args.ckpt:
+        from segtpu.convert.torch_import import load_segmenter_checkpoint
+        params, stats = load_segmenter_checkpoint(args.ckpt, genotype,
+                                                  args.num_classes)
+    else:
+        params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,
+                                       num_classes=args.num_classes)
+    worst = 0.0
+    for path in args.golden:
+        g = np.load(path)
+        img, want = g["image"], g["logits"]
+        fn = jax.jit(build_infer_fn(
+            genotype, num_classes=args.num_classes,
+            input_hw=img.shape[:2], compute_dtype=jnp.float32,
+            return_logits=True))
+        got = np.asarray(fn(params, stats, jnp.asarray(img)))
+        err = np.abs(got - want).max()
+        agree = (got.argmax(-1) == want.argmax(-1)).mean()
+        worst = max(worst, float(err))
+        print(f"{path}: max|dlogit|={err:.5f} argmax-agreement={agree:.6f}")
+    print(f"worst max|dlogit|: {worst:.5f}")
+
+
 def cmd_bench(args):
     import os
     os.environ.setdefault("BENCH_ARCH", args.arch)
@@ -229,6 +264,14 @@ def main(argv=None):
     pb = sub.add_parser("bench", help="headline throughput benchmark")
     pb.add_argument("--arch", default="arch0")
     pb.set_defaults(fn=cmd_bench)
+
+    pf = sub.add_parser("fidelity",
+                        help="per-pixel logit check vs golden .npz files")
+    pf.add_argument("--arch", default="arch0")
+    pf.add_argument("--num-classes", type=int, default=19)
+    pf.add_argument("--ckpt", default="")
+    pf.add_argument("--golden", nargs="+", required=True)
+    pf.set_defaults(fn=cmd_fidelity)
 
     args = ap.parse_args(argv)
     args.fn(args)
