@@ -46,8 +46,9 @@ def main():
 
     hw = os.environ.get("BENCH_HW", "1024x2048")  # H x W
     h, w = (int(v) for v in hw.split("x"))
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    reps = int(os.environ.get("BENCH_REPS", "6"))
+    scan = int(os.environ.get("BENCH_SCAN", "4"))  # batches per dispatch
     arch = os.environ.get("BENCH_ARCH", "arch0")
     num_classes = 19  # CityScapes
 
@@ -61,29 +62,36 @@ def main():
     infer = build_infer_fn(genotype, num_classes=num_classes,
                            input_hw=(h, w), compute_dtype=jnp.bfloat16)
 
-    # batched step; checksum output forces real completion on fetch
+    # batched step, `scan` batches per dispatch (amortizes the relay's
+    # ~24 ms dispatch+sync overhead). The frames are perturbed by the
+    # carry each iteration — a genuine data dependency, otherwise XLA's
+    # loop-invariant code motion computes the inference ONCE and the
+    # scan degenerates to re-summing (observed: exactly scan x the true
+    # throughput). The checksum fetch is the hard sync.
     @jax.jit
     def step(params, stats, frames):
-        masks = infer(params, stats, frames)
-        return masks, jnp.sum(masks.astype(jnp.int32))
+        def body(chk, _):
+            f = frames + (chk % 2).astype(jnp.uint8)
+            masks = infer(params, stats, f)
+            return chk + jnp.sum(masks.astype(jnp.int32)), None
+        chk, _ = jax.lax.scan(body, jnp.int32(0), None, length=scan)
+        return chk
 
     rng = np.random.RandomState(0)
     frames_host = rng.randint(0, 256, size=(batch, h, w, 3), dtype=np.uint8)
     frames = jax.device_put(frames_host, dev)
 
     t0 = time.time()
-    masks, chk = step(params, stats, frames)
-    _ = float(chk)
+    _ = float(step(params, stats, frames))
     compile_s = time.time() - t0
 
     # steady state: `reps` dispatches over device-resident batches,
     # hard-synced via the scalar checksum
     t0 = time.time()
     for _ in range(reps):
-        masks, chk = step(params, stats, frames)
-        _ = float(chk)
+        _ = float(step(params, stats, frames))
     dt = time.time() - t0
-    ips = batch * reps / dt
+    ips = batch * scan * reps / dt
 
     # secondary: true end-to-end through the relay (H2D + D2H per frame)
     seg = Segmenter(genotype, params, stats, num_classes=num_classes)
@@ -93,7 +101,7 @@ def main():
     n_out = sum(1 for _ in seg.predict_stream(e2e_frames))
     e2e_ips = n_out / (time.time() - t0)
 
-    print(f"# compile={compile_s:.1f}s batch={batch} reps={reps} "
+    print(f"# compile={compile_s:.1f}s batch={batch} scan={scan} reps={reps} "
           f"shape={h}x{w} arch={arch} backend={jax.default_backend()} "
           f"device_ips={ips:.1f} e2e_through_relay_ips={e2e_ips:.2f}",
           file=sys.stderr)

@@ -101,29 +101,29 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
             x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
             fmt = "nhwc3"
         if use_pallas and not return_logits:
+            # Fast path. Encoder stays XLA NHWC (measured 2.3 ms/frame
+            # vs 4.0 for the fused-CHW variant, models.fast_encoder —
+            # XLA's conv pipeline wins at MobileNet channel counts). The
+            # decoder flips to the Pallas CHW path (3.1 -> 2.2 ms/frame;
+            # 48-channel lane padding hurts XLA there), its channel-first
+            # logits feeding the fused upsample+argmax kernel.
+            from segtpu.kernels.upsample_argmax import upsample_argmax
+            from segtpu.models.encoders import mbv2_apply
             from segtpu.models.families import infer_family
-            if infer_family(genotype).name == "micro":
-                # fast path: CHW Pallas decoder (BN folded, sep-convs
-                # fused, no 48->128 lane padding) feeding the fused
-                # upsample+argmax kernel channel-first
-                # encoder stays XLA NHWC: measured 2.3 ms/frame vs 4.0
-                # for the fused-CHW variant (models.fast_encoder) — XLA's
-                # conv pipeline wins at MobileNet channel counts. The
-                # decoder flips to the Pallas CHW fast path (3.1 -> 2.2
-                # ms/frame), where 48-channel lane padding hurts XLA.
-                from segtpu.kernels.upsample_argmax import upsample_argmax
-                from segtpu.models.encoders import mbv2_apply
-                from segtpu.models.fast_decoder import build_fast_decoder
-                taps, _ = mbv2_apply(params["encoder"], stats["encoder"],
-                                     x, train=False, input_format=fmt)
-                dec = build_fast_decoder(genotype, params["decoder"],
-                                         stats["decoder"],
-                                         align_corners=align_corners)
-                logits_cf = dec(taps)
-                out = upsample_argmax(logits_cf, (hp, wp), crop_hw=(h, w),
-                                      align_corners=align_corners,
-                                      channel_first=True)
-                return out if img_u8.ndim == 4 else out[0]
+            from segtpu.models.fast_decoder import (
+                build_fast_decoder, build_fast_template_decoder)
+            taps, _ = mbv2_apply(params["encoder"], stats["encoder"],
+                                 x, train=False, input_format=fmt)
+            build = (build_fast_decoder
+                     if infer_family(genotype).name == "micro"
+                     else build_fast_template_decoder)
+            dec = build(genotype, params["decoder"], stats["decoder"],
+                        align_corners=align_corners)
+            logits_cf = dec(taps)
+            out = upsample_argmax(logits_cf, (hp, wp), crop_hw=(h, w),
+                                  align_corners=align_corners,
+                                  channel_first=True)
+            return out if img_u8.ndim == 4 else out[0]
         logits, _, _ = segmenter_apply(genotype, params, stats, x,
                                        train=False,
                                        align_corners=align_corners,

@@ -154,3 +154,61 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
         return pw(feats, clf_w, clf_b, relu=False)
 
     return apply
+
+
+def build_fast_template_decoder(genotype, params, stats, *,
+                                align_corners: bool = True,
+                                taps_channel_first: bool = False,
+                                interpret: bool = False):
+    """WACV template decoder on the CHW Pallas ops (eval fast path);
+    mirrors template_decoders.template_decoder_apply."""
+    from segtpu.models.template_decoders import (
+        validate_template_genotype, template_conns)
+    from segtpu.ops.layer_factory import AGG_OP_NAMES
+    validate_template_genotype(genotype, num_inputs=len(params["adapt"]))
+
+    adapts = [_fold(p, s) for p, s in zip(params["adapt"], stats["adapt"])]
+    blocks = []
+    for (i, j, agg, opi), bp, bs in zip(genotype, params["blocks"],
+                                        stats["blocks"]):
+        blk: Dict[str, Any] = {"agg": AGG_OP_NAMES[agg]}
+        if blk["agg"] == "psum":
+            blk["b1"] = _fold(bp["b1"], bs["b1"])
+            blk["b2"] = _fold(bp["b2"], bs["b2"])
+        else:
+            blk["reduce"] = _fold(bp["reduce"], bs["reduce"])
+        blk["op"] = _Op(OP_NAMES[opi], bp["op"], bs["op"], interpret)
+        blocks.append(blk)
+    clf_w, clf_b = params["clf"]["w"], params["clf"]["b"]
+    collect = _decoder_collect_inds(template_conns(genotype),
+                                    len(params["adapt"]))
+
+    def pw(x, wf, bf, relu=True):
+        return conv_chw(x, wf, bf, k=1, relu=relu, interpret=interpret)
+
+    def apply(taps):
+        pool: List[Any] = []
+        for t, (wf, bf) in zip(taps, adapts):
+            x = t if taps_channel_first else jnp.transpose(t, (0, 3, 1, 2))
+            pool.append(pw(x, wf, bf))
+        for blk, (i, j, agg, opi) in zip(blocks, genotype):
+            x1, x2 = pool[i], pool[j]
+            hw = (max(x1.shape[2], x2.shape[2]),
+                  max(x1.shape[3], x2.shape[3]))
+            if blk["agg"] == "psum":
+                y = (_resize_chw(pw(x1, *blk["b1"]), hw, align_corners)
+                     + _resize_chw(pw(x2, *blk["b2"]), hw, align_corners))
+            else:
+                y = jnp.concatenate(
+                    [_resize_chw(x1, hw, align_corners),
+                     _resize_chw(x2, hw, align_corners)], axis=1)
+                y = pw(y, *blk["reduce"])
+            pool.append(blk["op"](y))
+        hw = (max(pool[i].shape[2] for i in collect),
+              max(pool[i].shape[3] for i in collect))
+        feats = jnp.concatenate(
+            [_resize_chw(pool[i], hw, align_corners) for i in collect],
+            axis=1)
+        return pw(feats, clf_w, clf_b, relu=False)
+
+    return apply
