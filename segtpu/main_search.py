@@ -60,6 +60,11 @@ def _add_search_flags(p: argparse.ArgumentParser):
                    default=defaults.lstm_hidden_size)
     p.add_argument("--op-size", type=int, default=defaults.op_size)
     p.add_argument("--num-iters", type=int, default=defaults.num_iters)
+    p.add_argument("--supernet", type=int, default=0, metavar="K",
+                   help="vectorized population search: K archs per round "
+                        "in one compiled program (segtpu.supernet)")
+    p.add_argument("--fleet", action="store_true",
+                   help="per-device fleet search (one genotype per device)")
     p.add_argument("--seed", type=int, default=defaults.seed)
     p.add_argument("--snapshot-dir", default=defaults.snapshot_dir)
     p.add_argument("--resume", action="store_true")
@@ -78,8 +83,16 @@ def _cfg_from_args(args):
 
 
 def cmd_search(args):
-    from segtpu.search import run_search
-    saver = run_search(_cfg_from_args(args))
+    cfg = _cfg_from_args(args)
+    if getattr(args, "supernet", 0):
+        from segtpu.supernet import run_supernet_search
+        saver = run_supernet_search(cfg, population=args.supernet)
+    elif getattr(args, "fleet", False):
+        from segtpu.parallel.fleet import run_fleet_search
+        saver = run_fleet_search(cfg)
+    else:
+        from segtpu.search import run_search
+        saver = run_search(cfg)
     best = saver.best(1)
     if best:
         print(f"best reward {best[0]['reward']:.4f}: {best[0]['genotype']}")

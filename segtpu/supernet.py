@@ -1,0 +1,383 @@
+"""Vectorized masked-supernet proxy training — K sampled architectures
+in ONE compiled SPMD program.
+
+The per-genotype search path (segtpu.search / parallel.fleet) compiles a
+fresh XLA program for every sampled architecture (SURVEY.md §7.3 item 4:
+the fundamental cost of heterogeneous graphs under jit). This module is
+the TPU-native alternative called out in BASELINE.json's north star
+("pmap-vectorized proxy-training harness"): materialize ONE padded
+supergraph containing every op choice, encode each sampled genotype as
+one-hot masks, and ``vmap`` the whole train/eval step over a population
+axis of (per-sample weights, per-sample masks). One compile at search
+start; every round reuses it. Under a device mesh the population axis
+shards trivially (pure data parallelism over samples).
+
+Faithfulness notes (documented trade-offs vs the discrete builder):
+  * masks are one-hot, so a sample's forward equals the discrete
+    network's forward EXCEPT for resolution: the supergraph runs every
+    block at the stride-4 resolution (pool entries are upsampled once),
+    whereas a discrete block runs at the max resolution of its two
+    chosen inputs. Proxy rewards correlate but are not bit-identical;
+    use the per-genotype path when exact proxy semantics matter.
+  * each sample has its OWN weights (vmapped init) — this is the
+    reference's train-each-arch-from-scratch protocol, not ENAS weight
+    sharing.
+  * BN runs per-sample under vmap (stats of masked-off ops are computed
+    but never selected).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from segtpu.core.layers import conv_init, conv_bn_init, conv_bn_apply
+from segtpu.core.resize import resize_bilinear
+from segtpu.ops.layer_factory import NUM_OPS, OP_NAMES, op_init, op_apply
+from segtpu.rl.controller import MicroControllerSpec
+from segtpu.utils.metrics import confusion_matrix
+
+
+class SupernetSpec(NamedTuple):
+    num_inputs: int = 4
+    num_blocks: int = 3
+    num_cell_nodes: int = 3
+    agg_size: int = 48
+    num_classes: int = 21
+
+    @property
+    def pool_max(self) -> int:
+        return self.num_inputs + self.num_blocks
+
+
+def masks_from_actions(actions, spec: SupernetSpec):
+    """Controller actions (MicroControllerSpec order) -> mask dict of
+    one-hot float arrays. Pure numpy/jnp, vmap-able over a leading axis.
+    """
+    a = jnp.asarray(actions, jnp.int32)
+    nb, nn_, no = spec.num_blocks, spec.num_cell_nodes, NUM_OPS
+    idx = 0
+    op0 = jax.nn.one_hot(a[idx], no)
+    idx += 1
+    node_pos = []   # [nodes, 2, n_pos_max]
+    node_ops = []   # [nodes, 2, NUM_OPS]
+    n_pos_max = nn_ + 1
+    for k in range(1, nn_ + 1):
+        p1, p2, o1, o2 = a[idx], a[idx + 1], a[idx + 2], a[idx + 3]
+        idx += 4
+        node_pos.append(jnp.stack([jax.nn.one_hot(p1, n_pos_max),
+                                   jax.nn.one_hot(p2, n_pos_max)]))
+        node_ops.append(jnp.stack([jax.nn.one_hot(o1, no),
+                                   jax.nn.one_hot(o2, no)]))
+    conns = []      # [blocks, 2, pool_max]
+    for b in range(nb):
+        i, j = a[idx], a[idx + 1]
+        idx += 2
+        conns.append(jnp.stack([jax.nn.one_hot(i, spec.pool_max),
+                                jax.nn.one_hot(j, spec.pool_max)]))
+    return {"op0": op0, "node_pos": jnp.stack(node_pos),
+            "node_ops": jnp.stack(node_ops), "conns": jnp.stack(conns)}
+
+
+def _all_ops_init(key, c, dtype=jnp.float32):
+    ps, ss = [], []
+    for i, name in enumerate(OP_NAMES):
+        p, s = op_init(name, jax.random.fold_in(key, i), c, dtype=dtype)
+        ps.append(p)
+        ss.append(s)
+    return ps, ss
+
+
+def _all_ops_apply(params, stats, x, op_mask, *, train):
+    """Σ_op mask[op] · op(x) — with one-hot masks this IS the chosen op."""
+    out = None
+    new_stats = []
+    for i, name in enumerate(OP_NAMES):
+        y, ns = op_apply(name, params[i], stats[i], x, train=train)
+        new_stats.append(ns)
+        y = y * op_mask[i].astype(y.dtype)
+        out = y if out is None else out + y
+    return out, new_stats
+
+
+def supernet_init(key, spec: SupernetSpec, inp_sizes, dtype=jnp.float32):
+    keys = jax.random.split(key, 64)
+    ki = iter(range(64))
+    params: Dict[str, Any] = {"adapt": [], "blocks": []}
+    stats: Dict[str, Any] = {"adapt": [], "blocks": []}
+    for c in inp_sizes:
+        p, s = conv_bn_init(keys[next(ki)], 1, 1, c, spec.agg_size,
+                            dtype=dtype)
+        params["adapt"].append(p)
+        stats["adapt"].append(s)
+    for b in range(spec.num_blocks):
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        k1, k2 = jax.random.split(keys[next(ki)])
+        bp["agg1"], bs["agg1"] = conv_bn_init(k1, 1, 1, spec.agg_size,
+                                              spec.agg_size, dtype=dtype)
+        bp["agg2"], bs["agg2"] = conv_bn_init(k2, 1, 1, spec.agg_size,
+                                              spec.agg_size, dtype=dtype)
+        bp["node0"], bs["node0"] = _all_ops_init(keys[next(ki)],
+                                                 spec.agg_size, dtype)
+        bp["nodes"] = []
+        bs["nodes"] = []
+        for n in range(spec.num_cell_nodes):
+            pa, sa = _all_ops_init(keys[next(ki)], spec.agg_size, dtype)
+            pb, sb = _all_ops_init(keys[next(ki)], spec.agg_size, dtype)
+            bp["nodes"].append({"a": pa, "b": pb})
+            bs["nodes"].append({"a": sa, "b": sb})
+        bp["aux_clf"] = conv_init(keys[next(ki)], 1, 1, spec.agg_size,
+                                  spec.num_classes, dtype=dtype)
+        bp["aux_clf"]["b"] = jnp.zeros((spec.num_classes,), dtype)
+        params["blocks"].append(bp)
+        stats["blocks"].append(bs)
+    # classifier over the SUM of unused pool entries (masked-dynamic
+    # collect; concat order can't be static under masking)
+    params["clf"] = conv_init(keys[next(ki)], 1, 1, spec.agg_size,
+                              spec.num_classes, dtype=dtype)
+    params["clf"]["b"] = jnp.zeros((spec.num_classes,), dtype)
+    return params, stats
+
+
+def _conv1x1(p, x):
+    return jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["b"].astype(x.dtype)
+
+
+def supernet_apply(spec: SupernetSpec, params, stats, masks, taps, *,
+                   train: bool = False, with_aux: bool = False):
+    """One sample's forward. taps: 4 NHWC encoder features. All pool
+    entries live at the stride-4 resolution (see module docstring).
+    Returns (logits, aux list, new_stats)."""
+    hw = taps[0].shape[1:3]
+    new_stats: Dict[str, Any] = {"adapt": [], "blocks": []}
+    pool: List[Any] = []
+    for t, p, s in zip(taps, params["adapt"], stats["adapt"]):
+        y, ns = conv_bn_apply(p, s, t, act="relu", train=train)
+        pool.append(resize_bilinear(y, hw))
+        new_stats["adapt"].append(ns)
+
+    used = jnp.zeros((spec.pool_max,), jnp.float32)
+    aux = []
+    for b in range(spec.num_blocks):
+        bp, bs = params["blocks"][b], stats["blocks"][b]
+        nbs: Dict[str, Any] = {}
+        pool_arr = jnp.stack(pool + [jnp.zeros_like(pool[0])] *
+                             (spec.pool_max - len(pool)))
+        cm = masks["conns"][b]  # [2, pool_max]
+        x1 = jnp.einsum("p,p...->...", cm[0].astype(pool_arr.dtype), pool_arr)
+        x2 = jnp.einsum("p,p...->...", cm[1].astype(pool_arr.dtype), pool_arr)
+        used = used + cm[0] + cm[1]
+        y1, nbs["agg1"] = conv_bn_apply(bp["agg1"], bs["agg1"], x1,
+                                        act="relu", train=train)
+        y2, nbs["agg2"] = conv_bn_apply(bp["agg2"], bs["agg2"], x2,
+                                        act="relu", train=train)
+        y = y1 + y2
+        # contextual cell under masks
+        outs = [y]
+        y0, nbs["node0"] = _all_ops_apply(bp["node0"], bs["node0"], y,
+                                          masks["op0"], train=train)
+        outs.append(y0)
+        nbs["nodes"] = []
+        # outs grows to x + node0 + num_cell_nodes entries; selectable
+        # positions (the controller's vocab) are the first
+        # num_cell_nodes + 1 of them
+        n_outs = spec.num_cell_nodes + 2
+        cell_used = jnp.zeros((n_outs,), jnp.float32)
+        for n in range(spec.num_cell_nodes):
+            outs_arr = jnp.stack(
+                outs + [jnp.zeros_like(outs[0])] * (n_outs - len(outs)))
+            pm = masks["node_pos"][n]  # [2, n_pos_max]
+            pm0 = jnp.pad(pm[0], (0, n_outs - pm.shape[1]))
+            pm1 = jnp.pad(pm[1], (0, n_outs - pm.shape[1]))
+            xa = jnp.einsum("p,p...->...", pm0.astype(outs_arr.dtype),
+                            outs_arr)
+            xb = jnp.einsum("p,p...->...", pm1.astype(outs_arr.dtype),
+                            outs_arr)
+            cell_used = cell_used + pm0 + pm1
+            ya, nsa = _all_ops_apply(bp["nodes"][n]["a"], bs["nodes"][n]["a"],
+                                     xa, masks["node_ops"][n][0], train=train)
+            yb, nsb = _all_ops_apply(bp["nodes"][n]["b"], bs["nodes"][n]["b"],
+                                     xb, masks["node_ops"][n][1], train=train)
+            outs.append(ya + yb)
+            nbs["nodes"].append({"a": nsa, "b": nsb})
+        collect_w = jnp.clip(1.0 - cell_used, 0.0, 1.0)
+        cell_out = sum(outs[i] * collect_w[i].astype(outs[0].dtype)
+                       for i in range(len(outs)))
+        pool.append(cell_out)
+        if with_aux:
+            aux.append(_conv1x1(bp["aux_clf"], cell_out))
+        new_stats["blocks"].append(nbs)
+
+    collect_w = jnp.clip(1.0 - used, 0.0, 1.0)
+    pool_arr = jnp.stack(pool)
+    head = jnp.einsum("p,p...->...", collect_w.astype(pool_arr.dtype),
+                      pool_arr)
+    logits = _conv1x1(params["clf"], head)
+    return logits, aux, new_stats
+
+
+# ---------------------------------------------------------------------------
+# Population training: vmap over (weights, masks), shared data batch
+# ---------------------------------------------------------------------------
+
+
+def make_population_train_step(spec: SupernetSpec, optimizer, *,
+                               aux_weight: float = 0.15):
+    """-> jitted step(pop_state, batch): trains K decoders at once.
+    pop_state = (params, stats, opt_state) with a leading K axis on every
+    leaf; batch = {'taps': 4 arrays, 'label': [N,H,W]} (shared)."""
+    from segtpu.engine.trainer import segmentation_loss
+
+    def one_loss(params, stats, masks, batch):
+        logits, aux, new_stats = supernet_apply(
+            spec, params, stats, masks, batch["taps"], train=True,
+            with_aux=True)
+        loss = segmentation_loss(logits, aux, batch["label"],
+                                 num_classes=spec.num_classes,
+                                 aux_weight=aux_weight)
+        return loss, new_stats
+
+    def one_step(params, stats, opt_state, masks, batch):
+        (loss, new_stats), grads = jax.value_and_grad(
+            one_loss, has_aux=True)(params, stats, masks, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    @jax.jit
+    def step(pop, masks, batch):
+        params, stats, opt_state = pop
+        params, stats, opt_state, losses = jax.vmap(
+            one_step, in_axes=(0, 0, 0, 0, None))(params, stats, opt_state,
+                                                  masks, batch)
+        return (params, stats, opt_state), losses
+
+    return step
+
+
+def make_population_eval_step(spec: SupernetSpec):
+    @jax.jit
+    def step(params, stats, masks, batch):
+        def one(params, stats, masks):
+            logits, _, _ = supernet_apply(spec, params, stats, masks,
+                                          batch["taps"], train=False)
+            logits = resize_bilinear(logits, batch["label"].shape[1:3],
+                                     compute_dtype=jnp.float32)
+            pred = jnp.argmax(logits, axis=-1)
+            return confusion_matrix(pred, batch["label"], spec.num_classes)
+        return jax.vmap(one)(params, stats, masks)
+
+    return step
+
+
+def population_init(key, spec: SupernetSpec, inp_sizes, optimizer, k: int):
+    """K independent supernet weight sets (vmapped init)."""
+    keys = jax.random.split(key, k)
+    params, stats = jax.vmap(
+        lambda kk: supernet_init(kk, spec, inp_sizes))(keys)
+    opt_state = jax.vmap(optimizer.init)(params)
+    return params, stats, opt_state
+
+
+# ---------------------------------------------------------------------------
+# Search loop: one compiled program, K archs per round
+# ---------------------------------------------------------------------------
+
+
+def run_supernet_search(cfg, *, population: int = 8, dataset=None,
+                        enc_params=None, enc_stats=None):
+    """NAS search with the vectorized population trainer. One compile at
+    the first round; every later round reuses it (no per-genotype XLA
+    compiles — the answer to SURVEY.md §7.3 item 4). Reward = stage-1
+    proxy mIoU on cached encoder features (no stage-2 in this mode).
+    Returns the SearchSaver."""
+    import logging
+    import time
+    from segtpu import search as S
+    from segtpu.data.datasets import BatchLoader, create_loaders
+    from segtpu.models.encoders import mbv2_init, MBV2_TAP_CHANNELS
+    from segtpu.rl.agent import create_agent, sample_genotype, \
+        train_agent_batch
+    from segtpu.utils.metrics import mean_iou
+    from segtpu.utils.saver import SearchSaver
+
+    log = logging.getLogger("segtpu.supernet")
+    key = jax.random.PRNGKey(cfg.seed)
+    k_enc, k_agent, k_loop, k_pop = jax.random.split(key, 4)
+
+    dataset = dataset if dataset is not None else S._make_dataset(cfg)
+    train_loader, val_loader = create_loaders(
+        dataset, batch_size=cfg.batch_size[0], crop=cfg.crop_size,
+        meta_train_prct=cfg.meta_train_prct, seed=cfg.seed)
+    cache_train = BatchLoader(dataset, batch_size=cfg.batch_size[0],
+                              crop=cfg.crop_size, train=False, seed=cfg.seed,
+                              indices=train_loader.indices)
+    cache_val = BatchLoader(dataset, batch_size=cfg.batch_size[0],
+                            crop=cfg.crop_size, train=False, seed=cfg.seed,
+                            indices=val_loader.indices)
+    if enc_params is None:
+        enc_params, enc_stats = mbv2_init(k_enc)
+    cached_train = S._cache_taps(enc_params, enc_stats, cache_train)
+    cached_val = S._cache_taps(enc_params, enc_stats, cache_val)
+
+    spec = SupernetSpec(num_blocks=cfg.num_blocks,
+                        num_cell_nodes=cfg.num_cell_nodes,
+                        agg_size=cfg.agg_size, num_classes=cfg.num_classes)
+    ctrl_spec = MicroControllerSpec(
+        num_blocks=cfg.num_blocks, num_cell_nodes=cfg.num_cell_nodes,
+        hidden_size=cfg.lstm_hidden_size, emb_size=cfg.op_size)
+    agent = create_agent(k_agent, spec=ctrl_spec, algo=cfg.ctrl_algo,
+                         lr=cfg.ctrl_lr,
+                         baseline_decay=cfg.ctrl_baseline_decay,
+                         entropy_coef=cfg.ctrl_entropy_coef)
+    optimizer = optax.chain(optax.clip_by_global_norm(cfg.dec_grad_clip),
+                            optax.sgd(cfg.dec_lr, momentum=0.9))
+    train_step = make_population_train_step(spec, optimizer,
+                                            aux_weight=cfg.dec_aux_weight)
+    eval_step = make_population_eval_step(spec)
+    saver = SearchSaver(cfg.snapshot_dir)
+
+    masks_vec = jax.jit(jax.vmap(
+        lambda a: masks_from_actions(a, spec)))
+
+    for rnd in range(cfg.num_iters):
+        t0 = time.time()
+        genos, acts, lps = [], [], []
+        for i in range(population):
+            kk = jax.random.fold_in(jax.random.fold_in(k_loop, rnd), i)
+            g, a, lp, _ = sample_genotype(agent, kk)
+            genos.append(g)
+            acts.append(a)
+            lps.append(lp)
+        masks = masks_vec(jnp.stack(acts))
+        pop = population_init(jax.random.fold_in(k_pop, rnd), spec,
+                              MBV2_TAP_CHANNELS, optimizer, population)
+        for _ in range(cfg.num_epochs[0]):
+            for batch in cached_train:
+                pop, losses = train_step(pop, masks, batch)
+        params, stats, _ = pop
+        cms = 0
+        for batch in cached_val:
+            cms = cms + np.asarray(eval_step(params, stats, masks, batch))
+        rewards = [mean_iou(cms[i]) for i in range(population)]
+        agent = train_agent_batch(agent, jnp.stack(acts), rewards,
+                                  old_logprobs_batch=jnp.stack(lps))
+        for i in range(population):
+            saver.record(rnd * population + i, genos[i], rewards[i],
+                         {"round": rnd, "mode": "supernet",
+                          "baseline": float(agent.state.baseline)})
+        log.info("supernet round %d: %d archs in %.1fs rewards %s", rnd,
+                 population, time.time() - t0,
+                 [round(float(r), 4) for r in rewards])
+        saver.save((rnd + 1) * population, agent.state.params,
+                   float(agent.state.baseline))
+    return saver
