@@ -25,7 +25,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np

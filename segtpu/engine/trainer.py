@@ -16,8 +16,7 @@ encoder at all.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,6 @@ import optax
 
 from segtpu.core.resize import resize_bilinear
 from segtpu.models.encoders import mbv2_apply
-from segtpu.models.micro_decoders import micro_decoder_apply
 from segtpu.models.segmenter import segmenter_apply
 from segtpu.utils.metrics import confusion_matrix
 from segtpu.utils.solvers import polyak_update

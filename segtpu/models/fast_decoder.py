@@ -12,7 +12,6 @@ Eval-only by design (BN folding); training uses the NHWC reference path.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List
 
 import jax

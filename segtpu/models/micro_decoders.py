@@ -36,7 +36,7 @@ contextual cell precedes the aux classifier (``aux_cell=True``).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -7,13 +7,10 @@ returns logits at 1/4 input resolution; callers upsample.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
-
 import jax
 import jax.numpy as jnp
 
 from segtpu.models.encoders import mbv2_init, mbv2_apply, MBV2_TAP_CHANNELS
-from segtpu.models.micro_decoders import micro_decoder_init, micro_decoder_apply
 
 
 def segmenter_init(key, genotype, num_classes: int, *, agg_size: int = 48,

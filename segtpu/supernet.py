@@ -28,8 +28,7 @@ Faithfulness notes (documented trade-offs vs the discrete builder):
 
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, List, NamedTuple, Tuple
+from typing import Any, Dict, List, NamedTuple
 
 import numpy as np
 import jax
