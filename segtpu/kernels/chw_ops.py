@@ -61,12 +61,13 @@ def _taps(k: int, dilation: int, h: int, w: int):
 def _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p: int, w: int,
                   h: int):
     """Halo-stack the three tile views and zero all out-of-image rows
-    ONCE (instead of per tap): [C, 3*tile_p] f32."""
-    stack = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]],
-                            axis=1).astype(jnp.float32)
+    ONCE (instead of per tap). Stays in the input dtype (bf16): the wide
+    mask pass runs at 2x VPU throughput; taps cast to f32 at use."""
+    stack = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]], axis=1)
     p = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * tile_p), 1)
     row = row0 - (tile_p // w) + p // w
-    return jnp.where((row >= 0) & (row < h), stack, 0.0)
+    return jnp.where((row >= 0) & (row < h), stack,
+                     jnp.zeros_like(stack))
 
 
 def _col_masks(taps, tile_p: int, w: int):
@@ -83,7 +84,7 @@ def _shifted(stack_masked, col_masks, tile_p: int, dy: int, dx: int,
     """The (dy, dx) tap of the central tile, [C, tile_p] f32; rows were
     pre-masked in the stack, columns by the per-dx constant mask."""
     base = tile_p + dy * w + dx
-    xs = stack_masked[:, base:base + tile_p]
+    xs = stack_masked[:, base:base + tile_p].astype(jnp.float32)
     if dx == 0:
         return xs
     return xs * col_masks[dx]
