@@ -148,7 +148,8 @@ class BatchLoader:
         for b in range(n_batches):
             idx = order[b * bs:(b + 1) * bs]
             if len(idx) < bs:  # eval tail: repeat last sample to keep shape
-                idx = np.concatenate([idx, idx[[-1]] * (bs - len(idx))])
+                idx = np.concatenate(
+                    [idx, np.repeat(idx[-1], bs - len(idx))])
             imgs, msks = [], []
             for i in idx:
                 s = self.transform(self.dataset[int(i)], rng)

@@ -96,3 +96,17 @@ def test_search_smoke(tmp_path):
     cfg2 = SearchConfig(**{**cfg.__dict__, "num_iters": 3, "resume": True})
     saver2 = run_search(cfg2)
     assert len(saver2.history) == 3
+
+
+def test_eval_loader_ragged_tail_repeats_last_sample():
+    """Regression: the ragged eval tail used `idx[[-1]] * k` which
+    MULTIPLIES the index value (found by a TPU search drive: dataset of
+    32, last index 16, wanted 2 repeats -> index 32 out of bounds)."""
+    ds = SyntheticDataset(n=5, hw=(16, 16), num_classes=3)
+    loader = BatchLoader(ds, batch_size=4, crop=(16, 16), train=False)
+    batches = list(loader)
+    assert len(batches) == 2              # ceil(5/4)
+    assert batches[1]["image"].shape[0] == 4
+    # the tail is the last real sample repeated, not garbage indices
+    np.testing.assert_array_equal(batches[1]["image"][1],
+                                  batches[1]["image"][3])
