@@ -90,20 +90,26 @@ def _shifted(stack_masked, col_masks, tile_p: int, dy: int, dx: int,
     return xs * col_masks[dx]
 
 
-def _pw_kernel(wm_ref, b_ref, x_ref, out_ref, *, relu: bool):
-    """1x1 conv: no halo, no masks — one MXU dot per tile."""
+def _pw_kernel(wm_ref, b_ref, *refs, relu: bool, has_acc: bool):
+    """1x1 conv: no halo, no masks — one MXU dot per tile. With has_acc
+    the last input is summed into the (post-activation) result — fusing
+    the cell-node branch add saves one HBM round-trip per node."""
+    x_ref, out_ref = refs[0], refs[-1]
     y = jax.lax.dot_general(
         wm_ref[0].astype(jnp.float32), x_ref[0].astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     y = y + b_ref[:].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
+    if has_acc:
+        y = y + refs[1][0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, out_ref, *,
+def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
                  k: int, dilation: int, depthwise: bool, h: int, w: int,
-                 tile_p: int, relu: bool):
+                 tile_p: int, relu: bool, has_acc: bool = False):
+    out_ref = refs[-1]
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w)
     taps = _taps(k, dilation, h, w)
@@ -122,12 +128,15 @@ def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, out_ref, *,
     y = acc + b_ref[:].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
+    if has_acc:
+        y = y + refs[0][0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
 def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
-                out_ref, *, k: int, dilation: int, h: int, w: int,
-                tile_p: int):
+                *refs, k: int, dilation: int, h: int, w: int,
+                tile_p: int, has_acc: bool = False):
+    out_ref = refs[-1]
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w)
     taps = _taps(k, dilation, h, w)
@@ -143,6 +152,8 @@ def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
         wpw_ref[0].astype(jnp.float32), mid, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     y = jnp.maximum(y + bpw_ref[:].astype(jnp.float32), 0.0)
+    if has_acc:
+        y = y + refs[0][0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -174,23 +185,31 @@ def _flatten(x, rows_per_tile):
 
 
 def _pick_rows(h: int, w: int, dilation: int, k: int) -> int:
-    """Rows per tile. Invariants that keep every halo slice in-bounds:
-    rows > effective halo (min(dil*(k//2), h-1)), so |dy| <= rows-1 and
-    with |dx| <= w-1 the static slice start tile_p + dy*w + dx >= 1.
-    Target ~16k pixels per tile for VMEM headroom."""
+    """Rows per tile. Invariants:
+      * rows > effective halo (min(dil*(k//2), h-1)), so |dy| <= rows-1
+        and with |dx| <= w-1 every halo slice start stays in-bounds;
+      * rows*w (the block's LANE dim) must be a multiple of 128 —
+        Mosaic requires 128-divisible lane blocks unless the block spans
+        the whole array (w=512 CityScapes masked this; CamVid's w=120/
+        60/30 taps exposed it). Rounding rows up may exceed h: the
+        wrapper then pads to one full-array tile, which is exempt.
+    Target ~4k pixels/tile (3 bf16 halo views + f32 accumulator fit
+    VMEM with the unrolled taps)."""
+    import math
     halo = min(dilation * (k // 2), max(h - 1, 0))
-    # ~4k pixels/tile: 3 halo-stacked bf16 input views + f32 accumulator
-    # stay well under the 16MB scoped-VMEM limit with the unrolled taps
     rows = max(halo + 1, min(h, max(4096 // w, 8)))
-    return rows
+    step = 128 // math.gcd(w, 128)
+    return -(-rows // step) * step
 
 
 @functools.partial(jax.jit, static_argnames=("k", "dilation", "depthwise",
                                              "relu", "interpret"))
-def conv_chw(x, w_folded, bias, *, k: int, dilation: int = 1,
+def conv_chw(x, w_folded, bias, acc=None, *, k: int, dilation: int = 1,
              depthwise: bool = False, relu: bool = True,
              interpret: bool = False):
-    """x [B, C, H, W]; w_folded HWIO (BN pre-folded) -> [B, Cout, H, W]."""
+    """x [B, C, H, W]; w_folded HWIO (BN pre-folded) -> [B, Cout, H, W].
+    acc: optional [B, Cout, H, W] summed into the activated result
+    in-kernel (fused branch add)."""
     b, c, h, w = x.shape
     if depthwise:
         wm = jnp.transpose(w_folded, (0, 1, 3, 2)).reshape(k * k, c, 1)
@@ -203,49 +222,60 @@ def conv_chw(x, w_folded, bias, *, k: int, dilation: int = 1,
     xf, hp = _flatten(x, rows)
     tile_p = rows * w
     n_tiles = hp * w // tile_p
-    if k == 1 and not depthwise and hp == h:
+    acc_ops, acc_specs = (), []
+    if acc is not None:
+        acc_f, _ = _flatten(acc, rows)
+        acc_ops = (acc_f,)
+        acc_specs = [pl.BlockSpec((1, c_out, tile_p),
+                                  lambda bi, i: (bi, 0, i),
+                                  memory_space=pltpu.VMEM)]
+    if k == 1 and not depthwise:
         # pointwise fast path: single view, no halo, no masks
         out = pl.pallas_call(
-            functools.partial(_pw_kernel, relu=relu),
+            functools.partial(_pw_kernel, relu=relu,
+                              has_acc=acc is not None),
             out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
             grid=(b, n_tiles),
             in_specs=[_full_spec(wm.shape),
                       _full_spec((c_out, 1)),
                       pl.BlockSpec((1, c, tile_p),
                                    lambda bi, i: (bi, 0, i),
-                                   memory_space=pltpu.VMEM)],
+                                   memory_space=pltpu.VMEM),
+                      *acc_specs],
             out_specs=pl.BlockSpec((1, c_out, tile_p),
                                    lambda bi, i: (bi, 0, i),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(wm, bias.reshape(c_out, 1), xf)
-        return out.reshape(b, c_out, hp, w)
+        )(wm, bias.reshape(c_out, 1), xf, *acc_ops)
+        return out.reshape(b, c_out, hp, w)[:, :, :h]
     out = pl.pallas_call(
         functools.partial(_conv_kernel, k=k, dilation=dilation,
                           depthwise=depthwise, h=h, w=w, tile_p=tile_p,
-                          relu=relu),
+                          relu=relu, has_acc=acc is not None),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
         grid=(b, n_tiles),
         in_specs=[_full_spec(wm.shape),
                   _full_spec((c_out, 1)),
-                  *_x_specs(c, tile_p, n_tiles)],
+                  *_x_specs(c, tile_p, n_tiles),
+                  *acc_specs],
         out_specs=pl.BlockSpec((1, c_out, tile_p),
                                lambda bi, i: (bi, 0, i),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(wm, bias.reshape(c_out, 1), xf, xf, xf)
+    )(wm, bias.reshape(c_out, 1), xf, xf, xf, *acc_ops)
     return out.reshape(b, c_out, hp, w)[:, :, :h]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "dilation", "interpret"))
-def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, *, k: int, dilation: int = 1,
-                 interpret: bool = False):
+def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, acc=None, *, k: int,
+                 dilation: int = 1, interpret: bool = False):
     """Fused separable conv (dw kxk + BN + ReLU + pw 1x1 + BN + ReLU),
-    all BN pre-folded. x [B, C, H, W] -> [B, Cout, H, W]."""
+    all BN pre-folded. x [B, C, H, W] -> [B, Cout, H, W]. acc: optional
+    fused branch add (see conv_chw)."""
     b, c, h, w = x.shape
     wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(k * k, c, 1)
     c_out = w_pw.shape[3]
@@ -254,23 +284,32 @@ def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, *, k: int, dilation: int = 1,
     xf, hp = _flatten(x, rows)
     tile_p = rows * w
     n_tiles = hp * w // tile_p
+    acc_ops, acc_specs = (), []
+    if acc is not None:
+        acc_f, _ = _flatten(acc, rows)
+        acc_ops = (acc_f,)
+        acc_specs = [pl.BlockSpec((1, c_out, tile_p),
+                                  lambda bi, i: (bi, 0, i),
+                                  memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
         functools.partial(_sep_kernel, k=k, dilation=dilation, h=h, w=w,
-                          tile_p=tile_p),
+                          tile_p=tile_p, has_acc=acc is not None),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
         grid=(b, n_tiles),
         in_specs=[_full_spec(wdw.shape),
                   _full_spec((c, 1)),
                   _full_spec(wpw.shape),
                   _full_spec((c_out, 1)),
-                  *_x_specs(c, tile_p, n_tiles)],
+                  *_x_specs(c, tile_p, n_tiles),
+                  *acc_specs],
         out_specs=pl.BlockSpec((1, c_out, tile_p),
                                lambda bi, i: (bi, 0, i),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(wdw, b_dw.reshape(c, 1), wpw, b_pw.reshape(c_out, 1), xf, xf, xf)
+    )(wdw, b_dw.reshape(c, 1), wpw, b_pw.reshape(c_out, 1), xf, xf, xf,
+      *acc_ops)
     return out.reshape(b, c_out, hp, w)[:, :, :h]
 
 

@@ -92,31 +92,33 @@ def upsample_argmax(logits, out_hw, *, crop_hw=None,
     h_out, w_out = (int(crop_hw[0]), int(crop_hw[1])) if crop_hw else \
         (grid_h, grid_w)
 
-    # pad the output row count to the tile; crop after (uint8 rows, cheap)
+    # pad the output rows to the tile and the output width to a lane
+    # multiple (Mosaic requires 128-divisible lane blocks); crop after
     h_pad = _round_up(h_out, tile_h)
+    w_pad = _round_up(w_out, 128)
     ah = np.zeros((h_pad, h), np.float32)
     ah[:h_out] = _interp_matrix(h, grid_h, align_corners)[:h_out]
-    awt = np.ascontiguousarray(
-        _interp_matrix(w, grid_w, align_corners).T[:, :w_out])  # [w, W]
+    awt = np.zeros((w, w_pad), np.float32)
+    awt[:, :w_out] = _interp_matrix(w, grid_w, align_corners).T[:, :w_out]
 
     x = logits if channel_first else jnp.transpose(logits, (0, 3, 1, 2))
 
     grid = (b, h_pad // tile_h)
     out = pl.pallas_call(
         functools.partial(_kernel, num_classes=k),
-        out_shape=jax.ShapeDtypeStruct((b, h_pad, w_out), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.uint8),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_h, h), lambda bi, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, w_out), lambda bi, i: (0, 0),
+            pl.BlockSpec((w, w_pad), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, h, w), lambda bi, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, w_out), lambda bi, i: (bi, i, 0),
+        out_specs=pl.BlockSpec((1, tile_h, w_pad), lambda bi, i: (bi, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(jnp.asarray(ah), jnp.asarray(awt), x)
-    out = out[:, :h_out]
+    out = out[:, :h_out, :w_out]
     return out[0] if squeeze else out

@@ -68,25 +68,30 @@ class _Op:
                 self.kind = "conv"
                 self.wf, self.bf = _fold(params["conv"], stats["conv"])
 
-    def __call__(self, x):
+    def __call__(self, x, acc=None):
+        """acc: optional tensor fused into the result in-kernel for the
+        conv/sep kinds (cell branch add without an extra HBM pass)."""
         if self.kind == "none":
-            return jnp.zeros_like(x)
+            return jnp.zeros_like(x) if acc is None else acc
         if self.kind == "skip_connect":
-            return x
+            return x if acc is None else x + acc
         if self.kind == "gap":
             pooled = jnp.mean(x.astype(jnp.float32), axis=(2, 3))  # [B, C]
             y = jnp.maximum(pooled @ self.wm.astype(jnp.float32)
                             + self.b.astype(jnp.float32), 0.0)
             y = y.astype(x.dtype)
-            return jnp.broadcast_to(y[:, :, None, None],
-                                    (x.shape[0], y.shape[1]) + x.shape[2:])
+            y = jnp.broadcast_to(y[:, :, None, None],
+                                 (x.shape[0], y.shape[1]) + x.shape[2:])
+            return y if acc is None else y + acc
         if self.kind == "sep":
-            for wd, bd, wp, bp in self.reps:
-                x = sep_conv_chw(x, wd, bd, wp, bp, k=self.k,
+            for r, (wd, bd, wp, bp) in enumerate(self.reps):
+                last = r == len(self.reps) - 1
+                x = sep_conv_chw(x, wd, bd, wp, bp,
+                                 acc if last else None, k=self.k,
                                  dilation=self.dil, interpret=self.interpret)
             return x
-        return conv_chw(x, self.wf, self.bf, k=self.k, dilation=self.dil,
-                        interpret=self.interpret)
+        return conv_chw(x, self.wf, self.bf, acc, k=self.k,
+                        dilation=self.dil, interpret=self.interpret)
 
 
 def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
@@ -140,7 +145,8 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
             outs = [y, blk["node0"](y)]
             for (opa, opb), (p1, p2, _, _) in zip(blk["nodes"],
                                                   cell_config[1:]):
-                outs.append(opa(outs[p1]) + opb(outs[p2]))
+                # branch add fused into the second op's kernel epilogue
+                outs.append(opb(outs[p2], acc=opa(outs[p1])))
             acc = None
             for ci in cell_collect:
                 acc = outs[ci] if acc is None else acc + outs[ci]
