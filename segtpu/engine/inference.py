@@ -67,7 +67,8 @@ def _normalize_s2d(img_u8, compute_dtype):
 def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
                    batch: Optional[int] = None, align_corners: bool = True,
                    compute_dtype=jnp.bfloat16, return_logits: bool = False,
-                   use_pallas: Optional[bool] = None):
+                   use_pallas: Optional[bool] = None,
+                   pallas_interpret: bool = False):
     """Compile-ready fused inference function for one shape bucket.
 
     Returns ``infer(params, stats, img_u8)`` where img_u8 is
@@ -117,11 +118,15 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
                      if infer_family(genotype).name == "micro"
                      else build_fast_template_decoder)
             dec = build(genotype, params["decoder"], stats["decoder"],
-                        align_corners=align_corners)
+                        align_corners=align_corners,
+                        interpret=pallas_interpret)
             logits_cf = dec(taps)
-            out = upsample_argmax(logits_cf, (hp, wp), crop_hw=(h, w),
-                                  align_corners=align_corners,
-                                  channel_first=True)
+            out = upsample_argmax(
+                logits_cf, (hp, wp), crop_hw=(h, w),
+                align_corners=align_corners, channel_first=True,
+                # small tiles in interpret mode (CPU tests on tiny maps)
+                tile_h=32 if pallas_interpret else 128,
+                interpret=pallas_interpret)
             return out if img_u8.ndim == 4 else out[0]
         logits, _, _ = segmenter_apply(genotype, params, stats, x,
                                        train=False,

@@ -97,3 +97,21 @@ def test_s2d_fused_path_matches_classic(arch1_model):
 
     got = np.asarray(fn_s2d(params, stats, jnp.asarray(img)))
     assert (got == want).mean() > 0.999  # identical up to fp ties
+
+
+@pytest.mark.parametrize("genotype_key", ["arch1"])
+def test_engine_fast_path_matches_xla_path(arch1_model, genotype_key):
+    """The production TPU composition (XLA encoder + Pallas CHW decoder +
+    fused upsample/argmax, s2d stem, pad+crop) vs the XLA reference path,
+    end-to-end at the mask level (interpret mode on CPU)."""
+    genotype, params, stats = arch1_model
+    img = (np.random.RandomState(7).rand(2, 40, 72, 3) * 255).astype(np.uint8)
+    ref_fn = build_infer_fn(genotype, num_classes=7, input_hw=(40, 72),
+                            compute_dtype=jnp.float32, use_pallas=False)
+    fast_fn = build_infer_fn(genotype, num_classes=7, input_hw=(40, 72),
+                             compute_dtype=jnp.float32, use_pallas=True,
+                             pallas_interpret=True)
+    want = np.asarray(ref_fn(params, stats, jnp.asarray(img)))
+    got = np.asarray(fast_fn(params, stats, jnp.asarray(img)))
+    assert got.shape == want.shape == (2, 40, 72)
+    assert (got == want).mean() > 0.999  # identical up to fp ties
