@@ -229,15 +229,22 @@ def supernet_apply(spec: SupernetSpec, params, stats, masks, taps, *,
 # ---------------------------------------------------------------------------
 
 
+def _apply_for(family: str):
+    return supernet_apply if family == "micro" else template_supernet_apply
+
+
 def make_population_train_step(spec: SupernetSpec, optimizer, *,
-                               aux_weight: float = 0.15):
+                               aux_weight: float = 0.15,
+                               family: str = "micro"):
     """-> jitted step(pop_state, batch): trains K decoders at once.
     pop_state = (params, stats, opt_state) with a leading K axis on every
-    leaf; batch = {'taps': 4 arrays, 'label': [N,H,W]} (shared)."""
+    leaf; batch = {'taps': 4 arrays, 'label': [N,H,W]} (shared).
+    family: 'micro' (CVPR cell masks) or 'template' (WACV masks)."""
     from segtpu.engine.trainer import segmentation_loss
+    apply_fn = _apply_for(family)
 
     def one_loss(params, stats, masks, batch):
-        logits, aux, new_stats = supernet_apply(
+        logits, aux, new_stats = apply_fn(
             spec, params, stats, masks, batch["taps"], train=True,
             with_aux=True)
         loss = segmentation_loss(logits, aux, batch["label"],
@@ -263,12 +270,15 @@ def make_population_train_step(spec: SupernetSpec, optimizer, *,
     return step
 
 
-def make_population_eval_step(spec: SupernetSpec):
+def make_population_eval_step(spec: SupernetSpec, *,
+                              family: str = "micro"):
+    apply_fn = _apply_for(family)
+
     @jax.jit
     def step(params, stats, masks, batch):
         def one(params, stats, masks):
-            logits, _, _ = supernet_apply(spec, params, stats, masks,
-                                          batch["taps"], train=False)
+            logits, _, _ = apply_fn(spec, params, stats, masks,
+                                    batch["taps"], train=False)
             logits = resize_bilinear(logits, batch["label"].shape[1:3],
                                      compute_dtype=jnp.float32)
             pred = jnp.argmax(logits, axis=-1)
@@ -278,11 +288,13 @@ def make_population_eval_step(spec: SupernetSpec):
     return step
 
 
-def population_init(key, spec: SupernetSpec, inp_sizes, optimizer, k: int):
+def population_init(key, spec: SupernetSpec, inp_sizes, optimizer, k: int,
+                    *, family: str = "micro"):
     """K independent supernet weight sets (vmapped init)."""
+    init_fn = supernet_init if family == "micro" else template_supernet_init
     keys = jax.random.split(key, k)
     params, stats = jax.vmap(
-        lambda kk: supernet_init(kk, spec, inp_sizes))(keys)
+        lambda kk: init_fn(kk, spec, inp_sizes))(keys)
     opt_state = jax.vmap(optimizer.init)(params)
     return params, stats, opt_state
 
@@ -328,12 +340,20 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
     cached_train = S._cache_taps(enc_params, enc_stats, cache_train)
     cached_val = S._cache_taps(enc_params, enc_stats, cache_val)
 
+    family = "template" if cfg.ctrl_version in ("wacv", "template") \
+        else "micro"
     spec = SupernetSpec(num_blocks=cfg.num_blocks,
                         num_cell_nodes=cfg.num_cell_nodes,
                         agg_size=cfg.agg_size, num_classes=cfg.num_classes)
-    ctrl_spec = MicroControllerSpec(
-        num_blocks=cfg.num_blocks, num_cell_nodes=cfg.num_cell_nodes,
-        hidden_size=cfg.lstm_hidden_size, emb_size=cfg.op_size)
+    if family == "template":
+        from segtpu.rl.controller import TemplateControllerSpec
+        ctrl_spec = TemplateControllerSpec(
+            num_blocks=cfg.num_blocks,
+            hidden_size=cfg.lstm_hidden_size, emb_size=cfg.op_size)
+    else:
+        ctrl_spec = MicroControllerSpec(
+            num_blocks=cfg.num_blocks, num_cell_nodes=cfg.num_cell_nodes,
+            hidden_size=cfg.lstm_hidden_size, emb_size=cfg.op_size)
     agent = create_agent(k_agent, spec=ctrl_spec, algo=cfg.ctrl_algo,
                          lr=cfg.ctrl_lr,
                          baseline_decay=cfg.ctrl_baseline_decay,
@@ -341,12 +361,14 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
     optimizer = optax.chain(optax.clip_by_global_norm(cfg.dec_grad_clip),
                             optax.sgd(cfg.dec_lr, momentum=0.9))
     train_step = make_population_train_step(spec, optimizer,
-                                            aux_weight=cfg.dec_aux_weight)
-    eval_step = make_population_eval_step(spec)
+                                            aux_weight=cfg.dec_aux_weight,
+                                            family=family)
+    eval_step = make_population_eval_step(spec, family=family)
     saver = SearchSaver(cfg.snapshot_dir)
 
-    masks_vec = jax.jit(jax.vmap(
-        lambda a: masks_from_actions(a, spec)))
+    mask_fn = (masks_from_actions if family == "micro"
+               else template_masks_from_actions)
+    masks_vec = jax.jit(jax.vmap(lambda a: mask_fn(a, spec)))
 
     for rnd in range(cfg.num_iters):
         t0 = time.time()
@@ -359,7 +381,8 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
             lps.append(lp)
         masks = masks_vec(jnp.stack(acts))
         pop = population_init(jax.random.fold_in(k_pop, rnd), spec,
-                              MBV2_TAP_CHANNELS, optimizer, population)
+                              MBV2_TAP_CHANNELS, optimizer, population,
+                              family=family)
         for _ in range(cfg.num_epochs[0]):
             for batch in cached_train:
                 pop, losses = train_step(pop, masks, batch)
@@ -380,3 +403,111 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
         saver.save((rnd + 1) * population, agent.state.params,
                    float(agent.state.baseline))
     return saver
+
+
+# ---------------------------------------------------------------------------
+# WACV template-family supergraph (same vectorization, template masks)
+# ---------------------------------------------------------------------------
+
+
+def template_masks_from_actions(actions, spec: SupernetSpec):
+    """TemplateControllerSpec actions -> one-hot masks:
+    conns [blocks, 2, pool_max], aggs [blocks, 2], ops [blocks, NUM_OPS]."""
+    a = jnp.asarray(actions, jnp.int32)
+    conns, aggs, ops = [], [], []
+    idx = 0
+    for b in range(spec.num_blocks):
+        i, j, agg, op = a[idx], a[idx + 1], a[idx + 2], a[idx + 3]
+        idx += 4
+        conns.append(jnp.stack([jax.nn.one_hot(i, spec.pool_max),
+                                jax.nn.one_hot(j, spec.pool_max)]))
+        aggs.append(jax.nn.one_hot(agg, 2))
+        ops.append(jax.nn.one_hot(op, NUM_OPS))
+    return {"conns": jnp.stack(conns), "aggs": jnp.stack(aggs),
+            "ops": jnp.stack(ops)}
+
+
+def template_supernet_init(key, spec: SupernetSpec, inp_sizes,
+                           dtype=jnp.float32):
+    keys = jax.random.split(key, 64)
+    ki = iter(range(64))
+    params: Dict[str, Any] = {"adapt": [], "blocks": []}
+    stats: Dict[str, Any] = {"adapt": [], "blocks": []}
+    for c in inp_sizes:
+        p, s = conv_bn_init(keys[next(ki)], 1, 1, c, spec.agg_size,
+                            dtype=dtype)
+        params["adapt"].append(p)
+        stats["adapt"].append(s)
+    for b in range(spec.num_blocks):
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        k1, k2, k3 = jax.random.split(keys[next(ki)], 3)
+        bp["b1"], bs["b1"] = conv_bn_init(k1, 1, 1, spec.agg_size,
+                                          spec.agg_size, dtype=dtype)
+        bp["b2"], bs["b2"] = conv_bn_init(k2, 1, 1, spec.agg_size,
+                                          spec.agg_size, dtype=dtype)
+        bp["reduce"], bs["reduce"] = conv_bn_init(
+            k3, 1, 1, 2 * spec.agg_size, spec.agg_size, dtype=dtype)
+        bp["ops"], bs["ops"] = _all_ops_init(keys[next(ki)], spec.agg_size,
+                                             dtype)
+        bp["aux_clf"] = conv_init(keys[next(ki)], 1, 1, spec.agg_size,
+                                  spec.num_classes, dtype=dtype)
+        bp["aux_clf"]["b"] = jnp.zeros((spec.num_classes,), dtype)
+        params["blocks"].append(bp)
+        stats["blocks"].append(bs)
+    params["clf"] = conv_init(keys[next(ki)], 1, 1, spec.agg_size,
+                              spec.num_classes, dtype=dtype)
+    params["clf"]["b"] = jnp.zeros((spec.num_classes,), dtype)
+    return params, stats
+
+
+def template_supernet_apply(spec: SupernetSpec, params, stats, masks,
+                            taps, *, train: bool = False,
+                            with_aux: bool = False):
+    """Template-family masked forward (both aggregation templates are
+    computed, the sampled one selected by the agg one-hot). Same
+    resolution/head trade-offs as supernet_apply."""
+    hw = taps[0].shape[1:3]
+    new_stats: Dict[str, Any] = {"adapt": [], "blocks": []}
+    pool: List[Any] = []
+    for t, p, s in zip(taps, params["adapt"], stats["adapt"]):
+        y, ns = conv_bn_apply(p, s, t, act="relu", train=train)
+        pool.append(resize_bilinear(y, hw))
+        new_stats["adapt"].append(ns)
+
+    used = jnp.zeros((spec.pool_max,), jnp.float32)
+    aux = []
+    for b in range(spec.num_blocks):
+        bp, bs = params["blocks"][b], stats["blocks"][b]
+        nbs: Dict[str, Any] = {}
+        pool_arr = jnp.stack(pool + [jnp.zeros_like(pool[0])] *
+                             (spec.pool_max - len(pool)))
+        cm = masks["conns"][b]
+        x1 = jnp.einsum("p,p...->...", cm[0].astype(pool_arr.dtype), pool_arr)
+        x2 = jnp.einsum("p,p...->...", cm[1].astype(pool_arr.dtype), pool_arr)
+        used = used + cm[0] + cm[1]
+        # psum template
+        y1, nbs["b1"] = conv_bn_apply(bp["b1"], bs["b1"], x1, act="relu",
+                                      train=train)
+        y2, nbs["b2"] = conv_bn_apply(bp["b2"], bs["b2"], x2, act="relu",
+                                      train=train)
+        psum = y1 + y2
+        # cat template
+        cat = jnp.concatenate([x1, x2], axis=-1)
+        cat, nbs["reduce"] = conv_bn_apply(bp["reduce"], bs["reduce"], cat,
+                                           act="relu", train=train)
+        am = masks["aggs"][b]
+        y = psum * am[0].astype(psum.dtype) + cat * am[1].astype(cat.dtype)
+        y, nbs["ops"] = _all_ops_apply(bp["ops"], bs["ops"], y,
+                                       masks["ops"][b], train=train)
+        pool.append(y)
+        if with_aux:
+            aux.append(_conv1x1(bp["aux_clf"], y))
+        new_stats["blocks"].append(nbs)
+
+    collect_w = jnp.clip(1.0 - used, 0.0, 1.0)
+    pool_arr = jnp.stack(pool)
+    head = jnp.einsum("p,p...->...", collect_w.astype(pool_arr.dtype),
+                      pool_arr)
+    logits = _conv1x1(params["clf"], head)
+    return logits, aux, new_stats

@@ -110,3 +110,39 @@ def test_supernet_search_round(tmp_path):
     assert len(saver.history) == 3
     assert all(r["mode"] == "supernet" for r in saver.history)
     assert all(0.0 <= r["reward"] <= 1.0 for r in saver.history)
+
+
+def test_template_supernet_search_round(tmp_path):
+    cfg = SearchConfig(synthetic=True, num_classes=4, crop_size=(32, 32),
+                       batch_size=(4, 4), num_epochs=(1, 0), num_iters=1,
+                       ctrl_algo="reinforce", ctrl_version="wacv",
+                       agg_size=16, snapshot_dir=str(tmp_path / "tsn"),
+                       seed=6)
+    saver = run_supernet_search(cfg, population=2)
+    assert len(saver.history) == 2
+    assert all(0.0 <= r["reward"] <= 1.0 for r in saver.history)
+
+
+def test_template_masks_select_exactly():
+    from segtpu.supernet import (template_masks_from_actions,
+                                 template_supernet_init,
+                                 template_supernet_apply)
+    from segtpu.rl.controller import TemplateControllerSpec, \
+        template_genotype_from_actions
+    cspec = TemplateControllerSpec()
+    sspec = SupernetSpec(num_classes=3, agg_size=16)
+    cp = controller_init(jax.random.PRNGKey(0), cspec)
+    actions, _, _ = sample(cp, cspec, jax.random.PRNGKey(1))
+    g = template_genotype_from_actions(actions, cspec)
+    m = template_masks_from_actions(actions, sspec)
+    for b, (i, j, agg, op) in enumerate(g):
+        assert int(jnp.argmax(m["conns"][b][0])) == i
+        assert int(jnp.argmax(m["aggs"][b])) == agg
+        assert int(jnp.argmax(m["ops"][b])) == op
+    params, stats = template_supernet_init(jax.random.PRNGKey(2), sspec,
+                                           MBV2_TAP_CHANNELS)
+    taps = [jnp.ones((1, 16 // s, 16 // s, c)) for s, c in
+            zip((1, 2, 4, 8), MBV2_TAP_CHANNELS)]
+    logits, _, _ = template_supernet_apply(sspec, params, stats, m, taps)
+    assert logits.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(logits)).all()
