@@ -85,6 +85,19 @@ def main():
     _ = float(step(params, stats, frames))
     compile_s = time.time() - t0
 
+    # XLA's own FLOP count for the compiled program (per frame). Makes
+    # the JSON self-describing: value * flops -> achieved TFLOP/s, so a
+    # reader can judge the number against the chip's peak without
+    # trusting vs_baseline (VERDICT r1 weak#2).
+    flops_per_frame = None
+    try:
+        cost = step.lower(params, stats, frames).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        flops_per_frame = float(cost["flops"]) / (batch * scan)
+    except Exception as e:  # relay/backend may not expose cost analysis
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
     # steady state: `reps` dispatches over device-resident batches,
     # hard-synced via the scalar checksum
     t0 = time.time()
@@ -105,12 +118,21 @@ def main():
           f"shape={h}x{w} arch={arch} backend={jax.default_backend()} "
           f"device_ips={ips:.1f} e2e_through_relay_ips={e2e_ips:.2f}",
           file=sys.stderr)
-    print(json.dumps({
+    record = {
         "metric": f"cityscapes_{h}x{w}_{arch}_inference_throughput_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / REF_GPU_IPS, 3),
-    }))
+        # vs_baseline normalizes against an ASSUMED stand-in (see module
+        # docstring), carried explicitly so it can't read as a measurement:
+        "assumed_baseline_ips": REF_GPU_IPS,
+    }
+    if flops_per_frame is not None:
+        # lower bound: XLA's count excludes custom-call (Pallas) kernels
+        record["flops_per_frame_g_xla"] = round(flops_per_frame / 1e9, 2)
+        record["achieved_tflops_min"] = round(ips * flops_per_frame / 1e12,
+                                              2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

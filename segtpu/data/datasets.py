@@ -147,16 +147,23 @@ class BatchLoader:
         n_batches = len(self)
         for b in range(n_batches):
             idx = order[b * bs:(b + 1) * bs]
-            if len(idx) < bs:  # eval tail: repeat last sample to keep shape
+            n_valid = len(idx)
+            if n_valid < bs:  # eval tail: repeat last sample to keep shape
                 idx = np.concatenate(
-                    [idx, np.repeat(idx[-1], bs - len(idx))])
+                    [idx, np.repeat(idx[-1], bs - n_valid)])
             imgs, msks = [], []
-            for i in idx:
+            for k, i in enumerate(idx):
                 s = self.transform(self.dataset[int(i)], rng)
                 img, msk = s["image"], s["mask"]
                 ch, cw = self.crop
                 imgs.append(np.ascontiguousarray(img[:ch, :cw]))
-                msks.append(np.ascontiguousarray(msk[:ch, :cw]))
+                msk = np.ascontiguousarray(msk[:ch, :cw])
+                if k >= n_valid:
+                    # padded duplicate: all-ignore mask so it contributes
+                    # neither to the confusion matrix nor to the loss
+                    # (the reference evaluates each image exactly once)
+                    msk = np.full_like(msk, IGNORE_LABEL)
+                msks.append(msk)
             yield {"image": np.stack(imgs),
                    "label": np.stack(msks).astype(np.int32)}
 

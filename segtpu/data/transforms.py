@@ -34,13 +34,18 @@ class Compose:
 
 
 class Pad:
-    """Pad image (value: per-channel image mean convention) and mask
-    (value: ignore label) to at least crop_size."""
+    """Pad image (default value: per-channel image mean in pixel units,
+    the reference convention — it normalizes to ~0 after Normalise) and
+    mask (value: ignore label) to at least crop_size."""
 
-    def __init__(self, size: Tuple[int, int], img_val=0,
+    def __init__(self, size: Tuple[int, int], img_val=None,
                  msk_val: int = IGNORE_LABEL):
         self.size = size
-        self.img_val = img_val
+        # IMG_MEAN is in normalized units; /IMG_SCALE converts to pixel
+        # units (~[123.7, 116.3, 103.5]) so padding works for both the
+        # raw-uint8 and the normalise-on-host pipelines.
+        self.img_val = (np.asarray(IMG_MEAN) / IMG_SCALE
+                        if img_val is None else np.asarray(img_val))
         self.msk_val = msk_val
 
     def __call__(self, sample, rng=None):
@@ -48,8 +53,14 @@ class Pad:
         h, w = img.shape[:2]
         ph, pw = max(self.size[0] - h, 0), max(self.size[1] - w, 0)
         if ph or pw:
-            img = np.pad(img, ((0, ph), (0, pw), (0, 0)),
-                         constant_values=self.img_val)
+            val = self.img_val
+            if img.ndim == 2:
+                val = np.mean(val)
+            out = np.empty((h + ph, w + pw) + img.shape[2:], img.dtype)
+            out[:] = (np.round(val) if np.issubdtype(img.dtype, np.integer)
+                      else val)
+            out[:h, :w] = img
+            img = out
             msk = np.pad(msk, ((0, ph), (0, pw)),
                          constant_values=self.msk_val)
         return {**sample, "image": img, "mask": msk}

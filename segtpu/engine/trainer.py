@@ -44,6 +44,22 @@ def init_train_state(params, stats, optimizer, *, do_polyak: bool = False):
                       jnp.asarray(0, jnp.int32))
 
 
+def eval_params_stats(state: TrainState):
+    """The (params, stats) pair to evaluate with.
+
+    Polyak-averaged weights pair with the LIVE BatchNorm running stats —
+    a deliberate choice, applied at every eval site through this helper:
+    BN running stats are themselves an exponential moving average
+    (momentum 0.1, ~10-step time constant), so Polyak-averaging them
+    again only adds lag without reducing variance, and PyTorch's
+    canonical Polyak/EMA implementations (incl. the reference's
+    --do-polyak lineage) average ``parameters()`` while buffers follow
+    the live model. Tested in tests/test_train.py.
+    """
+    params = state.polyak if state.polyak is not None else state.params
+    return params, state.stats
+
+
 def cross_entropy(logits, labels, *, num_classes: int, ignore: int = 255):
     """Mean CE over non-ignored pixels. logits [N,h,w,K] are upsampled to
     the label resolution first (reference: interpolate-then-CE)."""

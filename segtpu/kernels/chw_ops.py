@@ -195,9 +195,16 @@ def _pick_rows(h: int, w: int, dilation: int, k: int) -> int:
         wrapper then pads to one full-array tile, which is exempt.
     Target ~4k pixels/tile (3 bf16 halo views + f32 accumulator fit
     VMEM with the unrolled taps)."""
-    import math
     halo = min(dilation * (k // 2), max(h - 1, 0))
     rows = max(halo + 1, min(h, max(4096 // w, 8)))
+    return _lane_round(rows, w)
+
+
+def _lane_round(rows: int, w: int) -> int:
+    """Round rows up so rows*w is a 128-multiple (Mosaic lane-block
+    divisibility). May exceed h — the _flatten pad then yields one
+    full-array tile, which Mosaic exempts."""
+    import math
     step = 128 // math.gcd(w, 128)
     return -(-rows // step) * step
 
@@ -381,9 +388,12 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     expand = w_exp is not None
     cmid = w_dw.shape[3]
     c_out = w_proj.shape[3]
-    # tile sized so the f32 expanded window fits VMEM comfortably
+    # tile sized so the f32 expanded window fits VMEM comfortably;
+    # lane-rounded like _pick_rows (non-128-multiple widths, e.g. CamVid
+    # w=120/60 taps, fail to lower on real TPU otherwise — interpret-mode
+    # CI does not enforce the divisibility)
     budget_px = max(1024, int(6e6 / (4 * cmid)))
-    rows = max(2, min(h, max(budget_px // w, 2)))
+    rows = _lane_round(max(2, min(h, max(budget_px // w, 2))), w)
     xf, hp = _flatten(x, rows)
     tile_p = rows * w
     n_tiles = hp * w // tile_p

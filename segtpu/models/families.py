@@ -49,10 +49,19 @@ def get_family(name: str) -> DecoderFamily:
 
 def infer_family(genotype) -> DecoderFamily:
     """Classify a genotype literal by shape: [cell, conns] -> micro,
-    [[i,j,agg,op], ...] -> template."""
+    [[i,j,agg,op], ...] -> template.
+
+    Disambiguation is structural, not length-based: a micro genotype's
+    second element is a list of 2-element [i,j] conn pairs, while every
+    top-level entry of a template genotype is a 4-list of ints — so a
+    2-block template ([[...4 ints...], [...4 ints...]]) is NOT micro."""
     if (isinstance(genotype, (list, tuple)) and len(genotype) == 2
             and isinstance(genotype[0], (list, tuple))
             and len(genotype[0]) >= 1
-            and isinstance(genotype[0][0], int)):
+            and isinstance(genotype[0][0], int)
+            and isinstance(genotype[1], (list, tuple))
+            and len(genotype[1]) >= 1
+            and all(isinstance(c, (list, tuple)) and len(c) == 2
+                    for c in genotype[1])):
         return MICRO
     return TEMPLATE

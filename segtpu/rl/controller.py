@@ -204,3 +204,16 @@ def genotype_from_actions(actions, spec: MicroControllerSpec):
         cell.append([p1, p2, o1, o2])
     conns = [[next(it), next(it)] for _ in range(spec.num_blocks)]
     return [cell, conns]
+
+
+def actions_from_genotype(genotype, spec: MicroControllerSpec):
+    """Inverse of genotype_from_actions: [cell_config, conns] -> action
+    vector [n_slots] i32 (same slot order the controller samples in)."""
+    cell, conns = genotype
+    a: list = [cell[0]]
+    for p1, p2, o1, o2 in cell[1:]:
+        a.extend([p1, p2, o1, o2])
+    for i, j in conns:
+        a.extend([i, j])
+    assert len(a) == spec.n_slots
+    return jnp.asarray(a, jnp.int32)

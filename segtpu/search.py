@@ -30,7 +30,7 @@ from segtpu.data.datasets import BatchLoader, SyntheticDataset, \
     SegmentationDataset, create_loaders
 from segtpu.engine.trainer import (
     TrainState, init_train_state, make_train_step, make_decoder_train_step,
-    make_encoder_cache_fn, make_eval_step)
+    make_encoder_cache_fn, make_eval_step, eval_params_stats)
 from segtpu.core.resize import resize_bilinear
 from segtpu.models.encoders import mbv2_init, MBV2_TAP_CHANNELS
 from segtpu.models.micro_decoders import (
@@ -110,10 +110,10 @@ def proxy_train(genotype, enc_params, enc_stats, cfg: SearchConfig,
             state, loss = step1(state, batch)
 
     eval_dec = _make_decoder_eval_step(genotype, cfg.num_classes, fam)
-    eval_params = state.polyak if state.polyak is not None else state.params
+    eval_params, eval_stats = eval_params_stats(state)
     cm = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
     for batch in cached_val:
-        cm += np.asarray(eval_dec(eval_params, state.stats, batch))
+        cm += np.asarray(eval_dec(eval_params, eval_stats, batch))
     miou1 = mean_iou(cm)
 
     # ---- stage 2: short end-to-end fine-tune ----
@@ -137,11 +137,11 @@ def proxy_train(genotype, enc_params, enc_stats, cfg: SearchConfig,
             state2, loss = step2(state2, batch)
 
     eval_full = make_eval_step(genotype, num_classes=cfg.num_classes)
-    eval_params2 = state2.polyak if state2.polyak is not None else state2.params
+    eval_params2, eval_stats2 = eval_params_stats(state2)
     cm = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
     for batch in val_loader:
         cm += np.asarray(eval_full(
-            eval_params2, state2.stats,
+            eval_params2, eval_stats2,
             {"image": jnp.asarray(batch["image"], jnp.float32),
              "label": jnp.asarray(batch["label"])}))
     miou2 = mean_iou(cm)

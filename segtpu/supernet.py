@@ -190,7 +190,12 @@ def supernet_apply(spec: SupernetSpec, params, stats, masks, taps, *,
         # positions (the controller's vocab) are the first
         # num_cell_nodes + 1 of them
         n_outs = spec.num_cell_nodes + 2
-        cell_used = jnp.zeros((n_outs,), jnp.float32)
+        # position 0 (the cell input x) is always consumed by node 0 —
+        # mirrors _cell_collect_inds seeding used={0} in the discrete
+        # builder (reference ContextualCell initializes _collect_inds=[0]
+        # and removes 0 when node 0 consumes x); without this, x leaked
+        # into every cell output whenever no node re-selected it.
+        cell_used = jnp.zeros((n_outs,), jnp.float32).at[0].set(1.0)
         for n in range(spec.num_cell_nodes):
             outs_arr = jnp.stack(
                 outs + [jnp.zeros_like(outs[0])] * (n_outs - len(outs)))

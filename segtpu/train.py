@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from segtpu.engine.trainer import (
-    init_train_state, make_train_step, make_eval_step)
+    init_train_state, make_train_step, make_eval_step, eval_params_stats)
 from segtpu.utils.profiling import StepTimer
 from segtpu.utils.metrics import mean_iou
 from segtpu.utils.saver import save_pytree, load_pytree_like
@@ -105,12 +105,11 @@ def run_training(genotype, train_loader, val_loader, cfg: TrainConfig, *,
                  float(jnp.mean(jnp.stack(losses))), time.time() - t0,
                  timer.items_per_sec or 0.0)
         if (epoch + 1) % cfg.val_every == 0 or epoch == cfg.num_epochs - 1:
-            eval_params = state.polyak if state.polyak is not None \
-                else state.params
+            eval_params, eval_stats = eval_params_stats(state)
             cm = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
             for batch in val_loader:
                 cm += np.asarray(eval_step(
-                    eval_params, state.stats,
+                    eval_params, eval_stats,
                     {"image": jnp.asarray(batch["image"], jnp.float32),
                      "label": jnp.asarray(batch["label"])}))
             miou = mean_iou(cm)

@@ -110,3 +110,30 @@ def test_eval_loader_ragged_tail_repeats_last_sample():
     # the tail is the last real sample repeated, not garbage indices
     np.testing.assert_array_equal(batches[1]["image"][1],
                                   batches[1]["image"][3])
+    # ADVICE r1: padded duplicates are all-ignore so the confusion matrix
+    # counts each image exactly once (reference semantics)
+    from segtpu.utils.metrics import IGNORE_LABEL
+    assert (batches[1]["label"][1:] == IGNORE_LABEL).all()
+    assert not (batches[1]["label"][0] == IGNORE_LABEL).all()
+
+
+def test_pad_uses_image_mean_and_mask_ignore():
+    """ADVICE r1: Pad defaults to the per-channel pixel-space ImageNet
+    mean (~0 after Normalise), not raw zero (~-2 sigma)."""
+    from segtpu.data.transforms import Pad, Normalise
+    img = np.full((8, 8, 3), 50, np.uint8)
+    msk = np.zeros((8, 8), np.uint8)
+    s = Pad((16, 16))({"image": img, "mask": msk})
+    assert s["image"].shape == (16, 16, 3)
+    np.testing.assert_array_equal(s["image"][12, 12], [124, 116, 104])
+    assert (s["mask"][12:, 12:] == 255).all()
+    n = Normalise()(s)
+    assert abs(n["image"][12:, 12:].mean()) < 0.01  # ~0 after normalize
+
+
+def test_infer_family_two_block_template():
+    """ADVICE r1: a 2-block template genotype must not be misread as
+    micro (len==2 with int-leading first entry)."""
+    from segtpu.models.families import infer_family
+    assert infer_family([[0, 1, 0, 2], [1, 4, 1, 3]]).name == "template"
+    assert infer_family([[2, [0, 1, 3, 4]], [[3, 2]]]).name == "micro"

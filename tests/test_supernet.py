@@ -146,3 +146,75 @@ def test_template_masks_select_exactly():
     logits, _, _ = template_supernet_apply(sspec, params, stats, m, taps)
     assert logits.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def _discrete_params_from_supernet(genotype, s_params, s_stats, spec):
+    """Slice the per-op leaves a genotype selects out of the supernet
+    param tree into the discrete micro-decoder's param structure. The
+    supernet head sums collected pool entries through one agg_size-wide
+    classifier; the discrete head concats then convolves — tiling the
+    supernet clf weight per collected entry makes the two heads equal."""
+    from segtpu.models.micro_decoders import _decoder_collect_inds
+    cell, conns = genotype
+    op0 = cell[0]
+    n_collect = len(_decoder_collect_inds(conns, spec.num_inputs))
+
+    def map_block(sp, ss):
+        bp = {"agg": {"branch1": sp["agg1"], "branch2": sp["agg2"]},
+              "cell": {"node0": sp["node0"][op0],
+                       "nodes": [{"a": sp["nodes"][n]["a"][o1],
+                                  "b": sp["nodes"][n]["b"][o2]}
+                                 for n, (_, _, o1, o2) in
+                                 enumerate(cell[1:])]}}
+        bs = {"agg": {"branch1": ss["agg1"], "branch2": ss["agg2"]},
+              "cell": {"node0": ss["node0"][op0],
+                       "nodes": [{"a": ss["nodes"][n]["a"][o1],
+                                  "b": ss["nodes"][n]["b"][o2]}
+                                 for n, (_, _, o1, o2) in
+                                 enumerate(cell[1:])]}}
+        return bp, bs
+
+    blocks = [map_block(sp, ss) for sp, ss in
+              zip(s_params["blocks"], s_stats["blocks"])]
+    d_params = {
+        "adapt": s_params["adapt"],
+        "blocks": [b[0] for b in blocks],
+        "clf": {"w": jnp.tile(s_params["clf"]["w"], (1, 1, n_collect, 1)),
+                "b": s_params["clf"]["b"]},
+    }
+    d_stats = {"adapt": s_stats["adapt"], "blocks": [b[1] for b in blocks]}
+    return d_params, d_stats
+
+
+def test_supernet_matches_discrete_forward_on_equal_res_taps():
+    """ADVICE r1 (medium): supernet one-hot forward must equal the
+    discrete micro-decoder on equal-resolution taps (resolution is the
+    only documented deviation; with equal taps, resizes are identity).
+    The genotype is chosen so no cell node selects position 0 — the
+    exact case where the collect bug leaked x into the cell output."""
+    from segtpu.models.micro_decoders import micro_decoder_apply
+    spec = SupernetSpec(num_classes=5, agg_size=16)
+    # nodes chain 1->2->3; position 0 (x) never re-selected.
+    cell = [1, [1, 1, 2, 0], [2, 2, 9, 4], [3, 3, 0, 2]]
+    conns = [[0, 1], [2, 3], [1, 2]]  # pool collect = [4, 5, 6]
+    genotype = [cell, conns]
+    s_params, s_stats = supernet_init(jax.random.PRNGKey(0), spec,
+                                      MBV2_TAP_CHANNELS)
+    rng = np.random.RandomState(7)
+    taps = [jnp.asarray(rng.randn(2, 8, 8, c), jnp.float32)
+            for c in MBV2_TAP_CHANNELS]
+
+    cspec = MicroControllerSpec(num_blocks=spec.num_blocks,
+                                num_cell_nodes=spec.num_cell_nodes)
+    from segtpu.rl.controller import actions_from_genotype
+    actions = actions_from_genotype(genotype, cspec)
+    masks = masks_from_actions(actions, spec)
+    got, _, _ = supernet_apply(spec, s_params, s_stats, masks, taps,
+                               train=False)
+
+    d_params, d_stats = _discrete_params_from_supernet(
+        genotype, s_params, s_stats, spec)
+    want, _, _ = micro_decoder_apply(genotype, d_params, d_stats, taps,
+                                     train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

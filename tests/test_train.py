@@ -30,3 +30,45 @@ def test_run_training_improves_and_checkpoints(tmp_path):
                                  genotype, num_classes=4)
     got = jax.tree_util.tree_leaves(params)
     assert all(np.isfinite(np.asarray(x)).all() for x in got)
+
+
+def test_eval_params_stats_pairing():
+    """VERDICT r1 weak#6: the documented eval pairing is Polyak weights
+    + LIVE BN stats (BN running stats are already an EMA; PyTorch-style
+    Polyak averages parameters only). One helper, used by every eval
+    site (search.py stage-1/stage-2, train.py)."""
+    import optax
+    import jax
+    import jax.numpy as jnp
+    from segtpu.engine.trainer import (init_train_state,
+                                       make_decoder_train_step,
+                                       eval_params_stats)
+    from segtpu.models.micro_decoders import micro_decoder_init
+    from segtpu.models.encoders import MBV2_TAP_CHANNELS
+    g = [[0, [0, 0, 0, 0]], [[0, 1]]]
+    params, stats = micro_decoder_init(jax.random.PRNGKey(0), g,
+                                       MBV2_TAP_CHANNELS, 3, agg_size=8,
+                                       aux=True)
+    opt = optax.sgd(0.5)
+    state = init_train_state(params, stats, opt, do_polyak=True)
+    step = make_decoder_train_step(g, opt, num_classes=3)
+    rng = np.random.RandomState(0)
+    batch = {"taps": [jnp.asarray(rng.randn(1, 8 // s, 8 // s, c),
+                                  jnp.float32)
+                      for s, c in zip((1, 2, 4, 8), MBV2_TAP_CHANNELS)],
+             "label": jnp.asarray(rng.randint(0, 3, (1, 32, 32)), jnp.int32)}
+    for _ in range(3):
+        state, _ = step(state, batch)
+    ep, es = eval_params_stats(state)
+    # polyak weights, not live weights
+    assert ep is state.polyak
+    diff = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.abs(l).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, ep, state.params), 0.0)
+    assert diff > 0  # averaging lags live weights
+    # live (current) BN stats, not averaged ones
+    assert es is state.stats
+
+    state_np = init_train_state(params, stats, opt, do_polyak=False)
+    ep2, es2 = eval_params_stats(state_np)
+    assert ep2 is state_np.params and es2 is state_np.stats
