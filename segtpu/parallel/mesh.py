@@ -90,6 +90,68 @@ def make_sharded_train_step(step_fn, mesh: Mesh):
     return sharded_step
 
 
+def make_sharded_infer_fn(infer_fn, mesh: Mesh, *, mode: str = "data"):
+    """Shard the fused uint8->uint8 inference program over the mesh
+    (BASELINE config 3 is streaming inference; SURVEY §5.7/§5.8).
+
+    infer_fn: a build_infer_fn result (engine.inference). Input must be
+    batched uint8 [N, H, W, 3]; returns uint8 masks [N, H, W].
+
+    mode='data' — per-device batch fan-out via shard_map: every device
+      runs the ENTIRE fused program (including the Pallas decoder/tail
+      kernels, which XLA's SPMD partitioner cannot split) on its slice
+      of the batch. Zero collectives; N must divide by the mesh size.
+    mode='space' — activations split along H over 'space' (batch axis
+      replicated — this mode exists to fit ONE huge image): jit +
+      NamedSharding, XLA inserts the conv halo exchanges. Build infer_fn
+      with use_pallas=False here — custom calls are opaque to the SPMD
+      partitioner and would force gathers around the decoder.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    if mode == "data":
+        flat = P(("data", "space"))
+        mapped = shard_map(
+            infer_fn, mesh=mesh,
+            in_specs=(P(), P(), P(("data", "space"), None, None, None)),
+            out_specs=P(("data", "space"), None, None),
+            check_rep=False)
+        mapped = jax.jit(mapped)
+        n_shards = mesh.size
+
+        def run(params, stats, img_u8):
+            assert img_u8.ndim == 4, "sharded inference takes [N,H,W,3]"
+            assert img_u8.shape[0] % n_shards == 0, (
+                f"batch {img_u8.shape[0]} must divide mesh size {n_shards}")
+            params = jax.device_put(params, _replicated(mesh))
+            stats = jax.device_put(stats, _replicated(mesh))
+            img_u8 = jax.device_put(
+                img_u8, NamedSharding(mesh, P(("data", "space"),
+                                              None, None, None)))
+            return mapped(params, stats, img_u8)
+
+        return run
+
+    if mode == "space":
+        rep = _replicated(mesh)
+        img_s = NamedSharding(mesh, P(None, "space", None, None))
+        # output sharding is inferred (works for uint8 masks [N,H,W] and
+        # return_logits [N,H,W,K] alike)
+        jitted = jax.jit(infer_fn)
+
+        def run(params, stats, img_u8):
+            assert img_u8.ndim == 4, "sharded inference takes [N,H,W,3]"
+            params = jax.device_put(params, rep)
+            stats = jax.device_put(stats, rep)
+            img_u8 = jax.device_put(img_u8, img_s)
+            with jax.set_mesh(mesh):
+                return jitted(params, stats, img_u8)
+
+        return run
+
+    raise ValueError(f"unknown mode {mode!r} (use 'data' or 'space')")
+
+
 def make_sharded_eval_step(eval_step, mesh: Mesh):
     """Sharded confusion-matrix eval: per-shard matrices reduce via the
     bincount's global sum (one psum over the mesh)."""

