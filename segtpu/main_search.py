@@ -219,6 +219,9 @@ def cmd_fidelity(args):
         worst = max(worst, float(err))
         print(f"{path}: max|dlogit|={err:.5f} argmax-agreement={agree:.6f}")
     print(f"worst max|dlogit|: {worst:.5f}")
+    if args.max_dlogit is not None and worst > args.max_dlogit:
+        print(f"FAIL: worst {worst:.5f} > --max-dlogit {args.max_dlogit}")
+        raise SystemExit(1)
 
 
 def cmd_bench(args):
@@ -284,6 +287,8 @@ def main(argv=None):
     pf.add_argument("--num-classes", type=int, default=19)
     pf.add_argument("--ckpt", default="")
     pf.add_argument("--golden", nargs="+", required=True)
+    pf.add_argument("--max-dlogit", type=float, default=None,
+                    help="exit 1 if worst max|dlogit| exceeds this")
     pf.set_defaults(fn=cmd_fidelity)
 
     args = ap.parse_args(argv)

@@ -18,8 +18,12 @@ from segtpu.convert.torch_import import (
 from segtpu.models.encoders import mbv2_init, mbv2_apply
 
 
-def _torch_mbv2():
-    """tonylins/pytorch-mobilenet-v2-style MobileNetV2 feature trunk."""
+MBV2_TAP_IDX = (3, 6, 13, 17)  # taps after stages 2/3/5/7
+
+
+def build_torch_mbv2_trunk() -> nn.Sequential:
+    """tonylins/pytorch-mobilenet-v2-style MobileNetV2 feature trunk as
+    an nn.Sequential (shared with the full-segmenter fidelity drill)."""
     cfg = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
            (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
 
@@ -53,11 +57,13 @@ def _torch_mbv2():
         for i in range(n):
             features.append(InvertedResidual(cin, c, s if i == 0 else 1, t))
             cin = c
+    return nn.Sequential(*features)
 
-    model = nn.Sequential(*features)
+
+def _torch_mbv2():
+    model = build_torch_mbv2_trunk()
     model.eval()
-    # taps after stages 2/3/5/7 = feature indices 3, 6, 13, 17
-    tap_idx = (3, 6, 13, 17)
+    tap_idx = MBV2_TAP_IDX
 
     def forward_taps(x):
         taps = []

@@ -1,6 +1,7 @@
 """Fleet search across 8 virtual devices + batched agent updates."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +26,7 @@ def test_batched_agent_update_moves_toward_best():
     assert lp_win1 > lp_win0
 
 
+@pytest.mark.slow
 def test_fleet_search_on_virtual_mesh(tmp_path):
     assert jax.device_count() == 8
     cfg = SearchConfig(

@@ -91,6 +91,7 @@ def test_segmenter_end_to_end():
     assert 1e5 < n < 1e7  # compact-segmentation regime
 
 
+@pytest.mark.slow
 def test_segmenter_freeze_encoder_blocks_grads():
     genotype = ARCHS["arch1"]
     params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,

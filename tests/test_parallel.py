@@ -43,6 +43,7 @@ def test_mesh_construction():
         make_mesh(16, 1)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(setup):
     genotype, state, step = setup
     batch = _batch()
@@ -72,6 +73,7 @@ def test_sharded_eval_step(setup):
     assert cm1.sum() == batch["label"].size
 
 
+@pytest.mark.slow
 def test_data_sharded_inference_matches_single_device(setup):
     """VERDICT r1 next#2: the fused uint8->uint8 inference program,
     batch fanned out over all 8 devices via shard_map, produces masks
@@ -90,6 +92,7 @@ def test_data_sharded_inference_matches_single_device(setup):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_space_sharded_inference_matches_single_device(setup):
     """One full image's activations split along H over the 'space' axis
     (XLA inserts the encoder-conv halo exchanges); masks must equal the

@@ -33,6 +33,7 @@ def test_loader_shapes_and_split():
     assert len(epochs[0]) == len(train)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     genotype = ARCHS["arch2"]
     params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,
@@ -75,6 +76,7 @@ def test_compute_reward():
     assert compute_reward(float("nan"), 0.5) == 0.0
 
 
+@pytest.mark.slow
 def test_search_smoke(tmp_path):
     cfg = SearchConfig(
         synthetic=True, num_classes=4, crop_size=(32, 32),

@@ -68,6 +68,7 @@ def test_supernet_forward_and_distinct_masks_differ():
     assert float(jnp.abs(l1 - l2).max()) > 1e-4  # different archs differ
 
 
+@pytest.mark.slow
 def test_population_trains_and_evals():
     import optax
     spec = SupernetSpec(num_classes=4, agg_size=16)
@@ -101,6 +102,7 @@ def test_population_trains_and_evals():
     assert (cms.sum(axis=(1, 2)) == batch["label"].size).all()
 
 
+@pytest.mark.slow
 def test_supernet_search_round(tmp_path):
     cfg = SearchConfig(synthetic=True, num_classes=4, crop_size=(32, 32),
                        batch_size=(4, 4), num_epochs=(1, 0), num_iters=1,
@@ -112,6 +114,7 @@ def test_supernet_search_round(tmp_path):
     assert all(0.0 <= r["reward"] <= 1.0 for r in saver.history)
 
 
+@pytest.mark.slow
 def test_template_supernet_search_round(tmp_path):
     cfg = SearchConfig(synthetic=True, num_classes=4, crop_size=(32, 32),
                        batch_size=(4, 4), num_epochs=(1, 0), num_iters=1,

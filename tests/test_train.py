@@ -2,12 +2,14 @@
 
 import jax
 import numpy as np
+import pytest
 
 from segtpu.data.datasets import SyntheticDataset, BatchLoader
 from segtpu.models import ARCHS
 from segtpu.train import TrainConfig, run_training, load_trained
 
 
+@pytest.mark.slow
 def test_run_training_improves_and_checkpoints(tmp_path):
     genotype = ARCHS["arch2"]
     # learnable task: mask = quadrant index, constant per dataset image

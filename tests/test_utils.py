@@ -53,6 +53,7 @@ def test_segmentation_loss_with_teacher():
     assert with_kd > plain
 
 
+@pytest.mark.slow
 def test_kd_search_smoke(tmp_path):
     """One search iteration with a KD teacher attached end-to-end."""
     from segtpu.config import SearchConfig
