@@ -147,6 +147,7 @@ def cmd_train(args):
                       crop_size=tuple(args.crop_size),
                       batch_size=args.batch_size,
                       num_epochs=args.num_epochs,
+                      enc_lr=args.enc_lr, dec_lr=args.dec_lr,
                       snapshot_dir=args.snapshot_dir,
                       data_parallel=args.data_parallel,
                       val_every=args.val_every)
@@ -164,8 +165,12 @@ def cmd_eval(args):
     from segtpu.data.datasets import SegmentationDataset, BatchLoader
     from segtpu.utils.metrics import mean_iou, compute_iu
 
-    genotype = ARCHS[args.arch]
-    if args.ckpt:
+    genotype = ARCHS[args.arch] if args.arch in ARCHS else eval(args.arch)
+    if args.ckpt and args.ckpt.endswith(".npz"):
+        # segtpu-native checkpoint (run_training best_params.npz)
+        from segtpu.train import load_trained
+        params, stats = load_trained(args.ckpt, genotype, args.num_classes)
+    elif args.ckpt:
         from segtpu.convert.torch_import import load_segmenter_checkpoint
         params, stats = load_segmenter_checkpoint(args.ckpt, genotype,
                                                   args.num_classes)
@@ -262,6 +267,8 @@ def main(argv=None):
     pt.add_argument("--shorter-side", type=int, default=512)
     pt.add_argument("--batch-size", type=int, default=16)
     pt.add_argument("--num-epochs", type=int, default=100)
+    pt.add_argument("--enc-lr", type=float, default=1e-3)
+    pt.add_argument("--dec-lr", type=float, default=3e-3)
     pt.add_argument("--val-every", type=int, default=5)
     pt.add_argument("--snapshot-dir", default="snapshots/train")
     pt.add_argument("--data-parallel", action="store_true")
