@@ -47,3 +47,27 @@ def compute_iu(cm) -> np.ndarray:
 def mean_iou(cm) -> float:
     iu = compute_iu(cm)
     return float(np.nanmean(iu))
+
+
+def spearman(a, b) -> float:
+    """Spearman rank correlation (average ranks for ties). Used to
+    quantify supernet-proxy fidelity vs the per-genotype path
+    (supernet.measure_proxy_fidelity)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+
+    def ranks(x):
+        order = np.argsort(x, kind="mergesort")
+        r = np.empty_like(x)
+        r[order] = np.arange(len(x), dtype=np.float64)
+        # average tied ranks
+        for v in np.unique(x):
+            m = x == v
+            r[m] = r[m].mean()
+        return r
+
+    ra, rb = ranks(a), ranks(b)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    denom = np.sqrt((ra * ra).sum() * (rb * rb).sum())
+    return float((ra * rb).sum() / denom) if denom > 0 else 0.0
