@@ -60,10 +60,11 @@ def _taps(k: int, dilation: int, h: int, w: int):
 
 def _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p: int, w: int,
                   h: int):
-    """Halo-stack the three tile views and zero all out-of-image rows
-    ONCE (instead of per tap). Stays in the input dtype (bf16): the wide
-    mask pass runs at 2x VPU throughput; taps cast to f32 at use."""
-    stack = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]], axis=1)
+    """Halo-stack the three tile views, zero all out-of-image rows, and
+    convert to f32 — each ONCE. (Round 1 kept the stack bf16 and cast
+    per tap; at 25 taps the per-tap converts dominated the dw loop.)"""
+    stack = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]],
+                            axis=1).astype(jnp.float32)
     p = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * tile_p), 1)
     row = row0 - (tile_p // w) + p // w
     return jnp.where((row >= 0) & (row < h), stack,
@@ -82,9 +83,10 @@ def _col_masks(taps, tile_p: int, w: int):
 def _shifted(stack_masked, col_masks, tile_p: int, dy: int, dx: int,
              w: int):
     """The (dy, dx) tap of the central tile, [C, tile_p] f32; rows were
-    pre-masked in the stack, columns by the per-dx constant mask."""
+    pre-masked (and the stack converted to f32) once, columns by the
+    per-dx constant mask."""
     base = tile_p + dy * w + dx
-    xs = stack_masked[:, base:base + tile_p].astype(jnp.float32)
+    xs = stack_masked[:, base:base + tile_p]
     if dx == 0:
         return xs
     return xs * col_masks[dx]
@@ -194,10 +196,17 @@ def _pick_rows(h: int, w: int, dilation: int, k: int) -> int:
         60/30 taps exposed it). Rounding rows up may exceed h: the
         wrapper then pads to one full-array tile, which is exempt.
     Target ~4k pixels/tile (3 bf16 halo views + f32 accumulator fit
-    VMEM with the unrolled taps)."""
+    VMEM with the unrolled taps). Prefer a divisor of h satisfying both
+    constraints: a non-divisor forces _flatten to PAD, and the pad
+    materializes an HBM copy of the whole tensor around every kernel
+    (profiled at ~0.5 ms per op at 8x48x256x512 on v5e)."""
     halo = min(dilation * (k // 2), max(h - 1, 0))
-    rows = max(halo + 1, min(h, max(4096 // w, 8)))
-    return _lane_round(rows, w)
+    target = max(halo + 1, min(h, max(4096 // w, 8)))
+    cap = min(h, max(target * 4, 16384 // max(w, 1) + 1))
+    for rows in range(target, cap + 1):
+        if h % rows == 0 and (rows * w) % 128 == 0:
+            return rows
+    return _lane_round(target, w)
 
 
 def _lane_round(rows: int, w: int) -> int:

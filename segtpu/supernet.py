@@ -19,6 +19,18 @@ Faithfulness notes (documented trade-offs vs the discrete builder):
     whereas a discrete block runs at the max resolution of its two
     chosen inputs. Proxy rewards correlate but are not bit-identical;
     use the per-genotype path when exact proxy semantics matter.
+    Measured fidelity (measure_proxy_fidelity, synthetic K=16):
+    Spearman rank correlation vs the per-genotype stage-1 reward —
+    see docs/DESIGN.md "Supernet proxy fidelity" for the current number.
+  * the classifier head is concat-EQUIVALENT: each pool slot has its
+    own agg_size-wide classifier slice, masked by the collect weights —
+    exactly the discrete concat-then-1x1 head up to weight-slot
+    permutation (round-1 used a summed head through one shared slice,
+    a measured fidelity loss).
+  * the population trainer mirrors search.proxy_train stage-1 exactly:
+    grad-clip + weight decay + momentum SGD, warmup-corrected Polyak
+    averaging for eval when cfg.do_polyak (round 1 trained with plain
+    SGD and evaluated raw weights).
   * each sample has its OWN weights (vmapped init) — this is the
     reference's train-each-arch-from-scratch protocol, not ENAS weight
     sharing.
@@ -136,11 +148,17 @@ def supernet_init(key, spec: SupernetSpec, inp_sizes, dtype=jnp.float32):
         bp["aux_clf"]["b"] = jnp.zeros((spec.num_classes,), dtype)
         params["blocks"].append(bp)
         stats["blocks"].append(bs)
-    # classifier over the SUM of unused pool entries (masked-dynamic
-    # collect; concat order can't be static under masking)
-    params["clf"] = conv_init(keys[next(ki)], 1, 1, spec.agg_size,
-                              spec.num_classes, dtype=dtype)
-    params["clf"]["b"] = jnp.zeros((spec.num_classes,), dtype)
+    # concat-equivalent masked head: one classifier slice PER POOL SLOT
+    # (concat order can't be static under masking, but per-slot weights
+    # reproduce concat-then-1x1 up to weight-slot permutation). Init
+    # bound uses fan_in = 2*agg_size — the discrete head's fan_in is
+    # n_collect*agg_size with n_collect typically 2.
+    bound = float(np.sqrt(3.0 / (2 * spec.agg_size)))
+    params["clf"] = {
+        "w": jax.random.uniform(keys[next(ki)],
+                                (spec.pool_max, spec.agg_size,
+                                 spec.num_classes), dtype, -bound, bound),
+        "b": jnp.zeros((spec.num_classes,), dtype)}
     return params, stats
 
 
@@ -221,12 +239,20 @@ def supernet_apply(spec: SupernetSpec, params, stats, masks, taps, *,
             aux.append(_conv1x1(bp["aux_clf"], cell_out))
         new_stats["blocks"].append(nbs)
 
-    collect_w = jnp.clip(1.0 - used, 0.0, 1.0)
-    pool_arr = jnp.stack(pool)
-    head = jnp.einsum("p,p...->...", collect_w.astype(pool_arr.dtype),
-                      pool_arr)
-    logits = _conv1x1(params["clf"], head)
+    logits = _masked_concat_head(params["clf"], pool, used)
     return logits, aux, new_stats
+
+
+def _masked_concat_head(clf, pool, used):
+    """Concat-equivalent classifier: logits = Σ_p collect[p]·(x_p @ W_p).
+    Identical to concatenating the collected entries and convolving with
+    the concatenation of their weight slices (the discrete head)."""
+    collect_w = jnp.clip(1.0 - used, 0.0, 1.0)
+    pool_arr = jnp.stack(pool)                      # [P, B, H, W, C]
+    wsel = clf["w"] * collect_w[:, None, None]      # [P, C, K]
+    return (jnp.einsum("pbhwc,pck->bhwk", pool_arr,
+                       wsel.astype(pool_arr.dtype))
+            + clf["b"].astype(pool_arr.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -238,14 +264,32 @@ def _apply_for(family: str):
     return supernet_apply if family == "micro" else template_supernet_apply
 
 
+class PopState(NamedTuple):
+    """Population training state; every leaf carries a leading K axis
+    except ``step`` (shared scalar). Field order keeps the round-1
+    ``(params, stats, opt_state)`` tuple indices valid."""
+    params: Any
+    stats: Any
+    opt_state: Any
+    polyak: Any = None      # None when do_polyak=False
+    step: Any = 0
+
+    def eval_params(self):
+        """Weights to evaluate with — Polyak average when tracked,
+        paired with live BN stats (trainer.eval_params_stats contract)."""
+        return self.polyak if self.polyak is not None else self.params
+
+
 def make_population_train_step(spec: SupernetSpec, optimizer, *,
                                aux_weight: float = 0.15,
                                family: str = "micro"):
-    """-> jitted step(pop_state, batch): trains K decoders at once.
-    pop_state = (params, stats, opt_state) with a leading K axis on every
-    leaf; batch = {'taps': 4 arrays, 'label': [N,H,W]} (shared).
-    family: 'micro' (CVPR cell masks) or 'template' (WACV masks)."""
+    """-> jitted step(pop_state: PopState, masks, batch): trains K
+    decoders at once; batch = {'taps': 4 arrays, 'label': [N,H,W]}
+    (shared). family: 'micro' (CVPR cell masks) or 'template' (WACV
+    masks). Mirrors search.proxy_train stage-1 semantics per sample,
+    including warmup-corrected Polyak when the pop carries one."""
     from segtpu.engine.trainer import segmentation_loss
+    from segtpu.utils.solvers import polyak_update
     apply_fn = _apply_for(family)
 
     def one_loss(params, stats, masks, batch):
@@ -266,11 +310,14 @@ def make_population_train_step(spec: SupernetSpec, optimizer, *,
 
     @jax.jit
     def step(pop, masks, batch):
-        params, stats, opt_state = pop
         params, stats, opt_state, losses = jax.vmap(
-            one_step, in_axes=(0, 0, 0, 0, None))(params, stats, opt_state,
-                                                  masks, batch)
-        return (params, stats, opt_state), losses
+            one_step, in_axes=(0, 0, 0, 0, None))(pop.params, pop.stats,
+                                                  pop.opt_state, masks,
+                                                  batch)
+        n = pop.step + 1
+        polyak = (polyak_update(pop.polyak, params, step=n)
+                  if pop.polyak is not None else None)
+        return PopState(params, stats, opt_state, polyak, n), losses
 
     return step
 
@@ -294,14 +341,18 @@ def make_population_eval_step(spec: SupernetSpec, *,
 
 
 def population_init(key, spec: SupernetSpec, inp_sizes, optimizer, k: int,
-                    *, family: str = "micro"):
+                    *, family: str = "micro",
+                    do_polyak: bool = False) -> PopState:
     """K independent supernet weight sets (vmapped init)."""
     init_fn = supernet_init if family == "micro" else template_supernet_init
     keys = jax.random.split(key, k)
     params, stats = jax.vmap(
         lambda kk: init_fn(kk, spec, inp_sizes))(keys)
     opt_state = jax.vmap(optimizer.init)(params)
-    return params, stats, opt_state
+    polyak = (jax.tree_util.tree_map(jnp.copy, params)
+              if do_polyak else None)
+    return PopState(params, stats, opt_state, polyak,
+                    jnp.asarray(0, jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -363,7 +414,9 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
                          lr=cfg.ctrl_lr,
                          baseline_decay=cfg.ctrl_baseline_decay,
                          entropy_coef=cfg.ctrl_entropy_coef)
+    # exact search.proxy_train stage-1 optimizer (clip + wd + momentum)
     optimizer = optax.chain(optax.clip_by_global_norm(cfg.dec_grad_clip),
+                            optax.add_decayed_weights(cfg.dec_wd),
                             optax.sgd(cfg.dec_lr, momentum=0.9))
     train_step = make_population_train_step(spec, optimizer,
                                             aux_weight=cfg.dec_aux_weight,
@@ -387,14 +440,14 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
         masks = masks_vec(jnp.stack(acts))
         pop = population_init(jax.random.fold_in(k_pop, rnd), spec,
                               MBV2_TAP_CHANNELS, optimizer, population,
-                              family=family)
+                              family=family, do_polyak=cfg.do_polyak)
         for _ in range(cfg.num_epochs[0]):
             for batch in cached_train:
                 pop, losses = train_step(pop, masks, batch)
-        params, stats, _ = pop
         cms = 0
         for batch in cached_val:
-            cms = cms + np.asarray(eval_step(params, stats, masks, batch))
+            cms = cms + np.asarray(eval_step(pop.eval_params(), pop.stats,
+                                             masks, batch))
         rewards = [mean_iou(cms[i]) for i in range(population)]
         agent = train_agent_batch(agent, jnp.stack(acts), rewards,
                                   old_logprobs_batch=jnp.stack(lps))
@@ -460,9 +513,12 @@ def template_supernet_init(key, spec: SupernetSpec, inp_sizes,
         bp["aux_clf"]["b"] = jnp.zeros((spec.num_classes,), dtype)
         params["blocks"].append(bp)
         stats["blocks"].append(bs)
-    params["clf"] = conv_init(keys[next(ki)], 1, 1, spec.agg_size,
-                              spec.num_classes, dtype=dtype)
-    params["clf"]["b"] = jnp.zeros((spec.num_classes,), dtype)
+    bound = float(np.sqrt(3.0 / (2 * spec.agg_size)))
+    params["clf"] = {
+        "w": jax.random.uniform(keys[next(ki)],
+                                (spec.pool_max, spec.agg_size,
+                                 spec.num_classes), dtype, -bound, bound),
+        "b": jnp.zeros((spec.num_classes,), dtype)}
     return params, stats
 
 
@@ -510,11 +566,7 @@ def template_supernet_apply(spec: SupernetSpec, params, stats, masks,
             aux.append(_conv1x1(bp["aux_clf"], y))
         new_stats["blocks"].append(nbs)
 
-    collect_w = jnp.clip(1.0 - used, 0.0, 1.0)
-    pool_arr = jnp.stack(pool)
-    head = jnp.einsum("p,p...->...", collect_w.astype(pool_arr.dtype),
-                      pool_arr)
-    logits = _conv1x1(params["clf"], head)
+    logits = _masked_concat_head(params["clf"], pool, used)
     return logits, aux, new_stats
 
 
@@ -588,6 +640,7 @@ def measure_proxy_fidelity(cfg, *, k: int = 16, seed: int = 0,
 
     # --- (b) supernet path: one compiled program, K samples vmapped ---
     optimizer = optax.chain(optax.clip_by_global_norm(cfg.dec_grad_clip),
+                            optax.add_decayed_weights(cfg.dec_wd),
                             optax.sgd(cfg.dec_lr, momentum=0.9))
     train_step = make_population_train_step(spec, optimizer,
                                             aux_weight=cfg.dec_aux_weight)
@@ -595,14 +648,14 @@ def measure_proxy_fidelity(cfg, *, k: int = 16, seed: int = 0,
     masks = jax.jit(jax.vmap(lambda a: masks_from_actions(a, spec)))(
         jnp.stack(acts))
     pop = population_init(k_pop, spec, MBV2_TAP_CHANNELS, optimizer,
-                          len(genos))
+                          len(genos), do_polyak=cfg.do_polyak)
     for _ in range(cfg.num_epochs[0]):
         for batch in cached_train:
             pop, _ = train_step(pop, masks, batch)
-    params, stats, _ = pop
     cms = 0
     for batch in cached_val:
-        cms = cms + np.asarray(eval_step(params, stats, masks, batch))
+        cms = cms + np.asarray(eval_step(pop.eval_params(), pop.stats,
+                                         masks, batch))
     r_supernet = [mean_iou(cms[i]) for i in range(len(genos))]
 
     # --- (a) faithful per-genotype stage-1 (search.proxy_train) ---

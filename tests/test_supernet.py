@@ -154,13 +154,13 @@ def test_template_masks_select_exactly():
 def _discrete_params_from_supernet(genotype, s_params, s_stats, spec):
     """Slice the per-op leaves a genotype selects out of the supernet
     param tree into the discrete micro-decoder's param structure. The
-    supernet head sums collected pool entries through one agg_size-wide
-    classifier; the discrete head concats then convolves — tiling the
-    supernet clf weight per collected entry makes the two heads equal."""
+    supernet head is concat-EQUIVALENT (one classifier slice per pool
+    slot); concatenating the collected slots' slices in collect order
+    gives exactly the discrete concat-then-1x1 head weights."""
     from segtpu.models.micro_decoders import _decoder_collect_inds
     cell, conns = genotype
     op0 = cell[0]
-    n_collect = len(_decoder_collect_inds(conns, spec.num_inputs))
+    collect = _decoder_collect_inds(conns, spec.num_inputs)
 
     def map_block(sp, ss):
         bp = {"agg": {"branch1": sp["agg1"], "branch2": sp["agg2"]},
@@ -182,7 +182,9 @@ def _discrete_params_from_supernet(genotype, s_params, s_stats, spec):
     d_params = {
         "adapt": s_params["adapt"],
         "blocks": [b[0] for b in blocks],
-        "clf": {"w": jnp.tile(s_params["clf"]["w"], (1, 1, n_collect, 1)),
+        "clf": {"w": jnp.concatenate(
+                    [s_params["clf"]["w"][i] for i in collect],
+                    axis=0)[None, None],
                 "b": s_params["clf"]["b"]},
     }
     d_stats = {"adapt": s_stats["adapt"], "blocks": [b[1] for b in blocks]}
