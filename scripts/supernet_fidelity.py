@@ -12,7 +12,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session env pins JAX_PLATFORMS=axon (real TPU) and the axon
+# sitecustomize re-pins it at interpreter start; env overrides do NOT
+# work — force CPU the way tests/conftest.py does.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def main():

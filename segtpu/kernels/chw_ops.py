@@ -80,16 +80,37 @@ def _col_masks(taps, tile_p: int, w: int):
             for dx in sorted({t[2] for t in taps})}
 
 
-def _shifted(stack_masked, col_masks, tile_p: int, dy: int, dx: int,
-             w: int):
-    """The (dy, dx) tap of the central tile, [C, tile_p] f32; rows were
-    pre-masked (and the stack converted to f32) once, columns by the
-    per-dx constant mask."""
-    base = tile_p + dy * w + dx
-    xs = stack_masked[:, base:base + tile_p]
-    if dx == 0:
-        return xs
-    return xs * col_masks[dx]
+def _dw_tap_sum(stack_masked, taps, combine, tile_p: int, w: int):
+    """Σ over taps of combine(j, shifted-input), computed dx-major.
+
+    A tap slice at offset dy*w + dx is a lane-MISALIGNED relayout (dx is
+    1..12 lanes) — the dominant VPU cost of the dw loop at 25 taps.
+    Shifting (and column-masking) once per distinct dx and letting each
+    tap take a dy*w sub-slice makes the per-tap slice lane-block-aligned
+    whenever w % 128 == 0 (all CityScapes/VOC decoder widths): k*k
+    misaligned relayouts + masks become k. Only one window is live at a
+    time (VMEM: window is ~(1 + 2*halo_rows/rows) x tile)."""
+    dmax_w = max((abs(dy) for _, dy, _ in taps), default=0) * w
+    width = tile_p + 2 * dmax_w
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    acc = None
+    for dx in sorted({t[2] for t in taps}):
+        start = tile_p + dx - dmax_w
+        win = jax.lax.slice_in_dim(stack_masked, start, start + width,
+                                   axis=1)
+        if dx != 0:
+            # col of window element q is (q + dx) mod w for every dy
+            # (dy*w shifts preserve the column)
+            colv = ((q % w) + dx >= 0) & ((q % w) + dx < w)
+            win = win * colv.astype(jnp.float32)
+        for j, dy, dx_t in taps:
+            if dx_t != dx:
+                continue
+            base = dmax_w + dy * w
+            xs = win[:, base:base + tile_p]
+            term = combine(j, xs)
+            acc = term if acc is None else acc + term
+    return acc
 
 
 def _pw_kernel(wm_ref, b_ref, *refs, relu: bool, has_acc: bool):
@@ -116,17 +137,16 @@ def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
     row0 = ti * (tile_p // w)
     taps = _taps(k, dilation, h, w)
     stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h)
-    cmasks = _col_masks(taps, tile_p, w)
-    c_out = out_ref.shape[1]
-    acc = jnp.zeros((c_out, tile_p), jnp.float32)
-    for j, dy, dx in taps:
-        xs = _shifted(stack, cmasks, tile_p, dy, dx, w)
-        if depthwise:
-            acc = acc + wm_ref[j].astype(jnp.float32) * xs
-        else:
-            acc = acc + jax.lax.dot_general(
+
+    if depthwise:
+        def combine(j, xs):
+            return wm_ref[j].astype(jnp.float32) * xs
+    else:
+        def combine(j, xs):
+            return jax.lax.dot_general(
                 wm_ref[j].astype(jnp.float32), xs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+    acc = _dw_tap_sum(stack, taps, combine, tile_p, w)
     y = acc + b_ref[:].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
@@ -143,12 +163,9 @@ def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
     row0 = ti * (tile_p // w)
     taps = _taps(k, dilation, h, w)
     stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h)
-    cmasks = _col_masks(taps, tile_p, w)
-    c = stack.shape[0]
-    acc = jnp.zeros((c, tile_p), jnp.float32)
-    for j, dy, dx in taps:
-        acc = acc + wdw_ref[j].astype(jnp.float32) * _shifted(
-            stack, cmasks, tile_p, dy, dx, w)
+    acc = _dw_tap_sum(stack, taps,
+                      lambda j, xs: wdw_ref[j].astype(jnp.float32) * xs,
+                      tile_p, w)
     mid = jnp.maximum(acc + bdw_ref[:].astype(jnp.float32), 0.0)
     y = jax.lax.dot_general(
         wpw_ref[0].astype(jnp.float32), mid, (((1,), (0,)), ((), ())),
