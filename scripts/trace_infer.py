@@ -39,6 +39,22 @@ def main():
     infer = jax.jit(build_infer_fn(genotype, num_classes=19,
                                    input_hw=(h, w),
                                    compute_dtype=jnp.bfloat16))
+    # HLO of the same compiled program: map trace op names -> source
+    import re
+    hlo = {}
+    compiled = infer.lower(params, stats, frames).compile()
+    for line in compiled.as_text().splitlines():
+        m = re.match(r"\s*%?([\w.\-]+) = (\S+)", line.strip())
+        if m:
+            src = ""
+            sm = re.search(r'op_name="([^"]*)"', line)
+            if sm:
+                src = sm.group(1)
+            fm = re.search(r'source_file="([^"]*)".*?source_line=(\d+)',
+                           line)
+            if fm:
+                src += f" @{fm.group(1).split('/')[-1]}:{fm.group(2)}"
+            hlo[m.group(1)] = (m.group(2)[:60], src[:110])
     # warm
     np.asarray(infer(params, stats, frames))
 
@@ -80,7 +96,9 @@ def main():
     print(f"pids: {pid_names}", file=sys.stderr)
     print(f"total device-op time {total/1e3:.2f} ms over 3 dispatches")
     for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:45]:
-        print(f"{dur/3e3:9.3f} ms/dispatch x{cnt[name]//3:3d}  {name[:110]}")
+        shape, src = hlo.get(name, ("?", ""))
+        print(f"{dur/3e3:9.3f} ms/dispatch x{cnt[name]//3:3d}  {name[:40]:40s}"
+              f" {shape:45s} {src}")
 
 
 if __name__ == "__main__":
