@@ -14,11 +14,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # The session env pins JAX_PLATFORMS=axon (real TPU) and the axon
 # sitecustomize re-pins it at interpreter start; env overrides do NOT
-# work — force CPU the way tests/conftest.py does.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# work — force CPU the way tests/conftest.py does. Pass --tpu to stay
+# on the device: the K-sample vmapped population step takes hours to
+# COMPILE on CPU XLA (a K=16 run timed out at 7000 s round 2) but
+# minutes on the TPU.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" in sys.argv:
+    sys.argv.remove("--tpu")
+else:
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():

@@ -33,6 +33,15 @@ BN_MOMENTUM = 0.1
 
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
+# Depthwise convs with C <= this run as dense convs with a diagonal
+# kernel (see conv_apply). ISOLATED A/B on v5e says the k²·C² redundant
+# MACs on the MXU beat XLA's depthwise lowering up to C=192 — but IN
+# SITU (full fused inference program) the swap measured SLOWER
+# (189 -> 141 img/s): XLA fuses/layouts the dw better inside the full
+# graph than standalone. Default off; env knob kept for re-measurement.
+import os as _os
+_DW_DENSE_MAX_CH = int(_os.environ.get("SEGTPU_DW_DENSE_MAX_CH", "0"))
+
 
 def relu(x):
     return jnp.maximum(x, 0)
@@ -85,6 +94,19 @@ def conv_apply(params: Params, x, *, stride: int = 1, dilation: int = 1,
         ph = dilation * (kh - 1) // 2
         pw = dilation * (kw - 1) // 2
         padding = ((ph, ph), (pw, pw))
+    if (groups > 1 and groups == w.shape[3] and w.shape[2] == 1
+            and groups <= _DW_DENSE_MAX_CH):
+        # Depthwise-as-dense: express the dw conv as a dense conv whose
+        # kernel is diagonal in (I, O). The 9*C^2 redundant MACs ride
+        # the MXU instead of XLA's slow TPU depthwise lowering —
+        # measured ~2-3x faster per op for C <= 192 on v5e (dw loses
+        # its advantage at C >= 384, where the dense FLOPs dominate).
+        # Adding exact zeros keeps the result bit-comparable (identical
+        # in f32; <= 1 ulp reordering in bf16 accumulation).
+        c = groups
+        wd = jnp.zeros((kh, kw, c, c), w.dtype)
+        wd = wd.at[:, :, jnp.arange(c), jnp.arange(c)].set(w[:, :, 0, :])
+        w, groups = wd, 1
     return lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=(stride, stride),

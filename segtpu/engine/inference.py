@@ -101,13 +101,15 @@ def _normalize_s2d(img_u8, compute_dtype):
             # materializes around the elementwise normalize (profiled
             # ~2.4 ms per batch-8 dispatch at 1024x2048 on v5e).
             scale = np.tile(IMG_SCALE / std12[:12], 64)      # [768]
-            bias = jnp.asarray(-mean12 / std12, jnp.bfloat16)
+            # bias added in the [.., 768] pre-reshape layout so it fuses
+            # into the matmul epilogue (adding after the reshape made
+            # XLA materialize a 1.5 ms full-res layout copy)
+            bias = jnp.asarray(np.tile(-mean12 / std12, 64), jnp.bfloat16)
             p0s = jnp.asarray(p0 * scale, jnp.bfloat16)
             p1s = jnp.asarray(p1 * scale, jnp.bfloat16)
             y = (jnp.einsum("nhkp,pq->nhkq", xe, p0s)
-                 + jnp.einsum("nhkp,pq->nhkq", xo, p1s))
-            return (y.reshape(n, h // 2, w // 2, 12)
-                    + bias).astype(compute_dtype)
+                 + jnp.einsum("nhkp,pq->nhkq", xo, p1s) + bias)
+            return y.reshape(n, h // 2, w // 2, 12).astype(compute_dtype)
         y = (jnp.einsum("nhkp,pq->nhkq", xe, jnp.asarray(p0, jnp.bfloat16))
              + jnp.einsum("nhkp,pq->nhkq", xo, jnp.asarray(p1, jnp.bfloat16)))
         y = y.reshape(n, h // 2, w // 2, 12)

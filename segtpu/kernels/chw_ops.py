@@ -384,16 +384,26 @@ def _invres_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
     row = row0 + (p - wpad) // w
     mid = jnp.where((row >= 0) & (row < h), mid, 0.0)
 
+    # dx-major dw loop (same trick as _dw_tap_sum): shift + column-mask
+    # once per distinct dx — lane-misaligned relayouts go 9 -> 3 — and
+    # let each tap take a lane-aligned dy*w sub-slice of the window.
     taps = _taps(3, 1, h, w)
-    cmasks = _col_masks(taps, tile_p, w)
-    cmid = mid.shape[0]
-    acc = jnp.zeros((cmid, tile_p), jnp.float32)
-    for j, dy, dx in taps:
-        base = wpad + dy * w + dx
-        xs = mid[:, base:base + tile_p]
+    width = tile_p + 2 * w
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    acc = None
+    for dx in sorted({t[2] for t in taps}):
+        start = wpad + dx - w
+        win = jax.lax.slice_in_dim(mid, start, start + width, axis=1)
         if dx != 0:
-            xs = xs * cmasks[dx]
-        acc = acc + wdw_ref[j].astype(jnp.float32) * xs
+            colv = ((q % w) + dx >= 0) & ((q % w) + dx < w)
+            win = win * colv.astype(jnp.float32)
+        for j, dy, dx_t in taps:
+            if dx_t != dx:
+                continue
+            base = w + dy * w
+            xs = jax.lax.slice_in_dim(win, base, base + tile_p, axis=1)
+            term = wdw_ref[j].astype(jnp.float32) * xs
+            acc = term if acc is None else acc + term
     acc = _relu6(acc + bdw_ref[:].astype(jnp.float32))
     y = jax.lax.dot_general(
         wproj_ref[0].astype(jnp.float32), acc, (((1,), (0,)), ((), ())),

@@ -7,18 +7,25 @@ full-resolution float logit tensor — at CityScapes 2048×1024×19 that is
 (a 2 MB uint8 mask). XLA cannot fully fuse the two einsum interpolation
 matmuls with the channel argmax.
 
-This kernel streams over classes instead: for each output row-tile it
-computes the H-interp and W-interp as two small MXU matmuls per class
-and folds the class into a running (best_value, best_index) pair held in
-VMEM — the full-res logits never exist. Per frame HBM traffic drops from
-~165 MB to ~7 MB (quarter-res logits in + uint8 mask out).
+This kernel tiles the output rows and streams classes through the grid:
+for each (batch, row-tile, class) step it upsamples one class plane with
+two BANDED matmuls and folds it into a running (best_value, best_index)
+pair held in VMEM scratch — the full-res logits never exist in HBM.
+
+A bilinear interp matrix has ≤2 nonzeros per row, so a 128-wide output
+tile only reads a ~"tile/scale + 2" band of input rows/cols. The round-1
+kernel used dense [TILE_H, h] × [h, w] × [w, W] matmuls and measured at
+~90% of the f32 matmul ceiling — i.e. compute-bound on ~8× redundant
+FLOPs. Banding both contractions (rows via a scalar-prefetched per-tile
+start, cols via static per-subtile windows) cuts the FLOPs ~8× for the
+4× decoder upsample.
 
 Layout notes (pallas_guide.md):
   * logits enter pre-transposed to [B, K, h, w] so the lane dim is w
     (512 for CityScapes) instead of K=19 — a [.., .., 19]-last layout
     would pad lanes 19 -> 128 and blow VMEM 6.7x;
-  * interpolation matrices are XLA constants (static shapes), sliced
-    per grid step via BlockSpec index maps;
+  * interpolation bands are XLA constants (static shapes) sliced per
+    grid step via BlockSpec index maps;
   * ties break toward the lower class index, matching jnp.argmax.
 """
 
@@ -39,28 +46,71 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(ah_ref, awt_ref, x_ref, out_ref, *, num_classes: int):
-    """Grid step = (batch b, output row-tile i).
+def _banded(a: np.ndarray, n_tiles: int, tile: int, band: int,
+            align: int = 1):
+    """Dense interp [OUT, IN] -> per-tile bands [n_tiles, tile, band] +
+    int32 window starts [n_tiles]. Asserts no nonzero falls outside its
+    tile's band (build-time check of the banding invariant). ``align``:
+    starts are rounded down to this multiple — Mosaic requires dynamic
+    sublane slice offsets to be provably tile-aligned (16 for bf16)."""
+    out_dim, in_dim = a.shape
+    bands = np.zeros((n_tiles, tile, band), np.float32)
+    starts = np.zeros((n_tiles,), np.int32)
+    for t in range(n_tiles):
+        rows = a[t * tile:(t + 1) * tile]
+        nz = np.nonzero(rows)[1]
+        s = 0 if nz.size == 0 else int(nz.min())
+        s = min(s, max(in_dim - band, 0))
+        s = (s // align) * align
+        assert nz.size == 0 or int(nz.max()) < s + band, \
+            f"interp band {band} too narrow for tile {t}"
+        starts[t] = s
+        bands[t] = rows[:, s:s + band]
+    return bands, starts
 
-    ah_ref : [TILE_H, h]  H-interp rows for this tile (f32)
-    awt_ref: [w, W]       W-interp, transposed (f32)
-    x_ref  : [1, K, h, w] quarter-res logits for batch b
-    out_ref: [1, TILE_H, W] uint8 mask tile
+
+def _kernel(starts_ref, ah_ref, awt_ref, x_ref, out_ref, val_ref, idx_ref,
+            *, num_classes: int, n_w: int, band_w: int, wc_starts):
+    """Grid step = (batch b, output row-tile i, class k).
+
+    starts_ref: [n_h] int32 row-window starts (scalar prefetch)
+    ah_ref    : [1, TILE_H, band_h] H-interp band for tile i (f32)
+    awt_ref   : [n_w, band_w, 128] W-interp bands, transposed (f32)
+    x_ref     : [1, 1, h, w] the full class-k logit plane (w-major, so
+                the whole quarter-res plane is < 0.3 MB; rows are
+                window-sliced in-kernel — arbitrary starts are not
+                expressible as BlockSpec block indices)
+    out_ref   : [1, TILE_H, W] uint8 mask tile
+    val/idx   : VMEM scratch [TILE_H, W] carrying the running argmax
+                across the (sequential, innermost) class dimension
     """
-    ah = ah_ref[:]
-    awt = awt_ref[:]
-    tile_h, _ = ah.shape
-    w_out = awt.shape[1]
-    best_val = jnp.full((tile_h, w_out), -jnp.inf, jnp.float32)
-    best_idx = jnp.zeros((tile_h, w_out), jnp.int32)
-    for k in range(num_classes):  # static unroll over classes
-        xk = x_ref[0, k].astype(jnp.float32)           # [h, w]
-        t1 = jnp.dot(ah, xk, preferred_element_type=jnp.float32)
-        t2 = jnp.dot(t1, awt, preferred_element_type=jnp.float32)
-        upd = t2 > best_val
-        best_val = jnp.where(upd, t2, best_val)
-        best_idx = jnp.where(upd, k, best_idx)
-    out_ref[0] = best_idx.astype(jnp.uint8)
+    i = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        val_ref[:] = jnp.full_like(val_ref, -jnp.inf)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    band_h = ah_ref.shape[2]
+    # _banded(align=16) guarantees 16-aligned starts; Mosaic needs the
+    # hint to prove the sublane slice offset is tile-aligned
+    s = pl.multiple_of(starts_ref[i], 16)
+    xk = x_ref[0, 0, pl.ds(s, band_h), :].astype(jnp.float32)
+    t1 = jnp.dot(ah_ref[0], xk, preferred_element_type=jnp.float32)
+    cols = []
+    for wj in range(n_w):                                  # static unroll
+        c0 = wc_starts[wj]
+        cols.append(jnp.dot(t1[:, c0:c0 + band_w], awt_ref[wj],
+                            preferred_element_type=jnp.float32))
+    t2 = jnp.concatenate(cols, axis=1)                     # [TILE_H, W]
+    upd = t2 > val_ref[:]
+    val_ref[:] = jnp.where(upd, t2, val_ref[:])
+    idx_ref[:] = jnp.where(upd, k, idx_ref[:])
+
+    @pl.when(k == num_classes - 1)
+    def _emit():
+        out_ref[0] = idx_ref[:].astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "crop_hw",
@@ -96,29 +146,54 @@ def upsample_argmax(logits, out_hw, *, crop_hw=None,
     # multiple (Mosaic requires 128-divisible lane blocks); crop after
     h_pad = _round_up(h_out, tile_h)
     w_pad = _round_up(w_out, 128)
-    ah = np.zeros((h_pad, h), np.float32)
-    ah[:h_out] = _interp_matrix(h, grid_h, align_corners)[:h_out]
-    awt = np.zeros((w, w_pad), np.float32)
-    awt[:, :w_out] = _interp_matrix(w, grid_w, align_corners).T[:, :w_out]
+    n_h, n_w = h_pad // tile_h, w_pad // 128
+    # band = input span of one output tile (+2 guard), sublane-rounded.
+    # The H band's dynamic start must be 16-aligned (Mosaic sublane
+    # alignment for bf16 loads): widen the band by 16 for the worst-case
+    # round-down loss and pad the input rows to a 16-multiple so the
+    # end-of-array clamp (in_dim - band) is itself 16-aligned.
+    h16 = _round_up(h, 16)
+    band_h = min(h16, _round_up(-(-tile_h * h) // grid_h + 2 + 16, 16))
+    band_w = min(w, _round_up(-(-128 * w) // grid_w + 2, 8))
+
+    ah_full = np.zeros((h_pad, h16), np.float32)
+    ah_full[:h_out, :h] = _interp_matrix(h, grid_h, align_corners)[:h_out]
+    aw_full = np.zeros((w_pad, w), np.float32)
+    aw_full[:w_out] = _interp_matrix(w, grid_w, align_corners)[:w_out]
+    ah, h_starts = _banded(ah_full, n_h, tile_h, band_h, align=16)
+    awb, w_starts = _banded(aw_full, n_w, 128, band_w)
+    awt = np.transpose(awb, (0, 2, 1))                 # [n_w, band_w, 128]
 
     x = logits if channel_first else jnp.transpose(logits, (0, 3, 1, 2))
+    if h16 != h:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, h16 - h), (0, 0)))
 
-    grid = (b, h_pad // tile_h)
+    grid = (b, n_h, k)
     out = pl.pallas_call(
-        functools.partial(_kernel, num_classes=k),
+        functools.partial(_kernel, num_classes=k, n_w=n_w, band_w=band_w,
+                          wc_starts=tuple(int(s) for s in w_starts)),
         out_shape=jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.uint8),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_h, h), lambda bi, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, w_pad), lambda bi, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, h, w), lambda bi, i: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile_h, w_pad), lambda bi, i: (bi, i, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tile_h, band_h),
+                             lambda bi, i, kk, s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_w, band_w, 128),
+                             lambda bi, i, kk, s: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, h16, w),
+                             lambda bi, i, kk, s: (bi, kk, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile_h, w_pad),
+                                   lambda bi, i, kk, s: (bi, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((tile_h, w_pad), jnp.float32),
+                            pltpu.VMEM((tile_h, w_pad), jnp.int32)],
+        ),
         interpret=interpret,
-    )(jnp.asarray(ah), jnp.asarray(awt), x)
+    )(jnp.asarray(h_starts), jnp.asarray(ah), jnp.asarray(awt), x)
     out = out[:, :h_out, :w_out]
     return out[0] if squeeze else out
