@@ -59,16 +59,42 @@ def _taps(k: int, dilation: int, h: int, w: int):
 
 
 def _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p: int, w: int,
-                  h: int):
-    """Halo-stack the three tile views, zero all out-of-image rows, and
-    convert to f32 — each ONCE. (Round 1 kept the stack bf16 and cast
-    per tap; at 25 taps the per-tap converts dominated the dw loop.)"""
-    stack = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]],
-                            axis=1).astype(jnp.float32)
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * tile_p), 1)
-    row = row0 - (tile_p // w) + p // w
-    return jnp.where((row >= 0) & (row < h), stack,
-                     jnp.zeros_like(stack))
+                  h: int, halo_px: int, center_valid: bool):
+    """Halo-stack [tail of prev | center | head of next] (only halo_px
+    lanes of each neighbour — round 1 concatenated all THREE full tiles,
+    tripling the VPU data movement of every kernel), zero out-of-image
+    rows, and convert to f32 — each ONCE. (Round 1 also kept the stack
+    bf16 and cast per tap; at 25 taps the per-tap converts dominated
+    the dw loop.)
+
+    center_valid: with divisor row-tiles (hp == h) the center tile's
+    rows are always in-image, so only the two halo_px-wide slices need
+    the row-validity `where` — a full-window mask pass costs ~tile/halo
+    times more VPU movement than the halo-only masks."""
+    head = jax.lax.slice_in_dim(xm_ref[0], tile_p - halo_px, tile_p,
+                                axis=1).astype(jnp.float32)
+    tail = jax.lax.slice_in_dim(xp_ref[0], 0, halo_px,
+                                axis=1).astype(jnp.float32)
+    ph = jax.lax.broadcasted_iota(jnp.int32, (1, halo_px), 1)
+    head = jnp.where(row0 - (halo_px // w) + ph // w >= 0, head,
+                     jnp.zeros_like(head))
+    tail = jnp.where(row0 + (tile_p // w) + ph // w < h, tail,
+                     jnp.zeros_like(tail))
+    center = x0_ref[0].astype(jnp.float32)
+    if not center_valid:  # _flatten padded rows: mask the center too
+        pc = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
+        center = jnp.where(row0 + pc // w < h, center,
+                           jnp.zeros_like(center))
+    return jnp.concatenate([head, center, tail], axis=1)
+
+
+def _halo_px(taps, w: int, tile_p: int) -> int:
+    """Lanes of neighbour-tile halo the stack needs: the largest row
+    shift plus one extra row to cover column shifts (|dx| < w). Clamped
+    to the tile (callers guarantee rows > max|dy|, so this only binds
+    on single-tile arrays)."""
+    dmax_dy = max((abs(dy) for _, dy, _ in taps), default=0)
+    return min((dmax_dy + 1) * w, tile_p)
 
 
 def _col_masks(taps, tile_p: int, w: int):
@@ -80,7 +106,8 @@ def _col_masks(taps, tile_p: int, w: int):
             for dx in sorted({t[2] for t in taps})}
 
 
-def _dw_tap_sum(stack_masked, taps, combine, tile_p: int, w: int):
+def _dw_tap_sum(stack_masked, taps, combine, tile_p: int, w: int,
+                halo_px: int):
     """Σ over taps of combine(j, shifted-input), computed dx-major.
 
     A tap slice at offset dy*w + dx is a lane-MISALIGNED relayout (dx is
@@ -89,27 +116,35 @@ def _dw_tap_sum(stack_masked, taps, combine, tile_p: int, w: int):
     tap take a dy*w sub-slice makes the per-tap slice lane-block-aligned
     whenever w % 128 == 0 (all CityScapes/VOC decoder widths): k*k
     misaligned relayouts + masks become k. Only one window is live at a
-    time (VMEM: window is ~(1 + 2*halo_rows/rows) x tile)."""
+    time (VMEM: window is ~(1 + 2*halo_rows/rows) x tile).
+
+    stack_masked is [C, halo_px + tile_p + halo_px] (_masked_stack);
+    halo_px must be >= dmax|dy|*w + dmax|dx|."""
     dmax_w = max((abs(dy) for _, dy, _ in taps), default=0) * w
     width = tile_p + 2 * dmax_w
-    q = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
     acc = None
     for dx in sorted({t[2] for t in taps}):
-        start = tile_p + dx - dmax_w
+        start = halo_px + dx - dmax_w
         win = jax.lax.slice_in_dim(stack_masked, start, start + width,
                                    axis=1)
-        if dx != 0:
-            # col of window element q is (q + dx) mod w for every dy
-            # (dy*w shifts preserve the column)
-            colv = ((q % w) + dx >= 0) & ((q % w) + dx < w)
-            win = win * colv.astype(jnp.float32)
+        part = None
         for j, dy, dx_t in taps:
             if dx_t != dx:
                 continue
             base = dmax_w + dy * w
             xs = win[:, base:base + tile_p]
             term = combine(j, xs)
-            acc = term if acc is None else acc + term
+            part = term if part is None else part + term
+        if dx != 0:
+            # column validity depends on (pixel, dx) only — never dy
+            # (dy*w shifts preserve the column) — so ONE tile-sized mask
+            # multiply on the dy-summed partial replaces masking the
+            # (tile + 2*dmax|dy|*w)-wide window, which at dilation 12
+            # is 2.5x the tile
+            colv = ((p % w) + dx >= 0) & ((p % w) + dx < w)
+            part = part * colv.astype(jnp.float32)
+        acc = part if acc is None else acc + part
     return acc
 
 
@@ -131,12 +166,15 @@ def _pw_kernel(wm_ref, b_ref, *refs, relu: bool, has_acc: bool):
 
 def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
                  k: int, dilation: int, depthwise: bool, h: int, w: int,
-                 tile_p: int, relu: bool, has_acc: bool = False):
+                 tile_p: int, relu: bool, has_acc: bool = False,
+                 center_valid: bool = True):
     out_ref = refs[-1]
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w)
     taps = _taps(k, dilation, h, w)
-    stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h)
+    halo_px = _halo_px(taps, w, tile_p)
+    stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h,
+                          halo_px, center_valid)
 
     if depthwise:
         def combine(j, xs):
@@ -146,7 +184,7 @@ def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
             return jax.lax.dot_general(
                 wm_ref[j].astype(jnp.float32), xs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-    acc = _dw_tap_sum(stack, taps, combine, tile_p, w)
+    acc = _dw_tap_sum(stack, taps, combine, tile_p, w, halo_px)
     y = acc + b_ref[:].astype(jnp.float32)
     if relu:
         y = jnp.maximum(y, 0.0)
@@ -157,15 +195,18 @@ def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
 
 def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
                 *refs, k: int, dilation: int, h: int, w: int,
-                tile_p: int, has_acc: bool = False):
+                tile_p: int, has_acc: bool = False,
+                center_valid: bool = True):
     out_ref = refs[-1]
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w)
     taps = _taps(k, dilation, h, w)
-    stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h)
+    halo_px = _halo_px(taps, w, tile_p)
+    stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h,
+                          halo_px, center_valid)
     acc = _dw_tap_sum(stack, taps,
                       lambda j, xs: wdw_ref[j].astype(jnp.float32) * xs,
-                      tile_p, w)
+                      tile_p, w, halo_px)
     mid = jnp.maximum(acc + bdw_ref[:].astype(jnp.float32), 0.0)
     y = jax.lax.dot_general(
         wpw_ref[0].astype(jnp.float32), mid, (((1,), (0,)), ((), ())),
@@ -286,7 +327,8 @@ def conv_chw(x, w_folded, bias, acc=None, *, k: int, dilation: int = 1,
     out = pl.pallas_call(
         functools.partial(_conv_kernel, k=k, dilation=dilation,
                           depthwise=depthwise, h=h, w=w, tile_p=tile_p,
-                          relu=relu, has_acc=acc is not None),
+                          relu=relu, has_acc=acc is not None,
+                          center_valid=hp == h),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
         grid=(b, n_tiles),
         in_specs=[_full_spec(wm.shape),
@@ -326,7 +368,8 @@ def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, acc=None, *, k: int,
                                   memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
         functools.partial(_sep_kernel, k=k, dilation=dilation, h=h, w=w,
-                          tile_p=tile_p, has_acc=acc is not None),
+                          tile_p=tile_p, has_acc=acc is not None,
+                          center_valid=hp == h),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
         grid=(b, n_tiles),
         in_specs=[_full_spec(wdw.shape),
@@ -365,12 +408,16 @@ def _invres_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
                    residual: bool):
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w)
-    stack = jnp.concatenate([xm_ref[0], x0_ref[0], xp_ref[0]],
-                            axis=1).astype(jnp.float32)
-    # expand on the center tile + one halo row + 1px each side (the
-    # corner taps (±1, ±1) reach w+1 pixels out)
+    # window = center tile + one halo row + 1px each side (the corner
+    # taps (±1, ±1) reach w+1 pixels out); only the needed wpad lanes of
+    # each neighbour tile are touched (round 1 concatenated all three
+    # full tiles — 3x the VPU data movement)
     wpad = w + 1
-    win = stack[:, tile_p - wpad:2 * tile_p + wpad]  # [C, tile_p + 2wpad]
+    win = jnp.concatenate(
+        [jax.lax.slice_in_dim(xm_ref[0], tile_p - wpad, tile_p, axis=1),
+         x0_ref[0],
+         jax.lax.slice_in_dim(xp_ref[0], 0, wpad, axis=1)],
+        axis=1).astype(jnp.float32)                  # [C, tile_p + 2wpad]
     if expand:
         mid = jax.lax.dot_general(
             wexp_ref[0].astype(jnp.float32), win, (((1,), (0,)), ((), ())),
@@ -425,11 +472,25 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     cmid = w_dw.shape[3]
     c_out = w_proj.shape[3]
     # tile sized so the f32 expanded window fits VMEM comfortably;
-    # lane-rounded like _pick_rows (non-128-multiple widths, e.g. CamVid
-    # w=120/60 taps, fail to lower on real TPU otherwise — interpret-mode
-    # CI does not enforce the divisibility)
+    # prefer a divisor of h with a 128-divisible lane block, exactly
+    # like _pick_rows — a non-divisor forces _flatten to pad, and the
+    # pad materializes an HBM copy of the whole tensor around the
+    # kernel (measured: the b0 shape 8x32x512x1024 ran 2x slower with
+    # rows=45 padding 512 -> 540 than with the divisor 32)
     budget_px = max(1024, int(6e6 / (4 * cmid)))
-    rows = _lane_round(max(2, min(h, max(budget_px // w, 2))), w)
+    target = max(2, min(h, max(budget_px // w, 2)))
+    rows = None
+    for r in range(target, min(h, target * 4) + 1):
+        if h % r == 0 and (r * w) % 128 == 0:
+            rows = r
+            break
+    if rows is None:
+        for r in range(target, 1, -1):
+            if h % r == 0 and (r * w) % 128 == 0:
+                rows = r
+                break
+    if rows is None:
+        rows = _lane_round(target, w)
     xf, hp = _flatten(x, rows)
     tile_p = rows * w
     n_tiles = hp * w // tile_p
