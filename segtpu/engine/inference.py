@@ -120,6 +120,37 @@ def _normalize_s2d(img_u8, compute_dtype):
         compute_dtype)
 
 
+def _normalize_s2d_chw(img_u8, compute_dtype):
+    """uint8 [N,H,W,3] -> normalized CHW s2d planes [N,12,H/2,W/2] for
+    the full-CHW Pallas encoder (models.fast_encoder.mbv2_chw_apply).
+    Per-channel permutation matmuls write each channel plane directly in
+    its final flat-pixel layout — no NHWC tensor (and no 12->128 lane
+    padding) ever exists. Same arithmetic as _normalize_s2d."""
+    n, h, w, _ = img_u8.shape
+    mean12 = np.tile(np.asarray(IMG_MEAN, np.float32), 4)
+    std12 = np.tile(np.asarray(IMG_STD, np.float32), 4)
+    if w % 128 == 0:
+        xb = img_u8.reshape(n, h, (w * 3) // 384, 384)
+        xe = xb[:, 0::2].astype(jnp.bfloat16)
+        xo = xb[:, 1::2].astype(jnp.bfloat16)
+        p0, p1 = _s2d_perm_mats()
+        scale = IMG_SCALE / std12
+        planes = []
+        for c in range(12):
+            cols = np.arange(64) * 12 + c
+            p0c = jnp.asarray(p0[:, cols] * scale[c], jnp.bfloat16)
+            p1c = jnp.asarray(p1[:, cols] * scale[c], jnp.bfloat16)
+            bias = jnp.asarray(-mean12[c] / std12[c], jnp.bfloat16)
+            yc = (jnp.einsum("nhkp,pq->nhkq", xe, p0c)
+                  + jnp.einsum("nhkp,pq->nhkq", xo, p1c) + bias)
+            planes.append(yc.reshape(n, h // 2, w // 2))
+        return jnp.stack(planes, axis=1).astype(compute_dtype)
+    from segtpu.models.encoders import space_to_depth
+    y = space_to_depth(img_u8).astype(jnp.float32) * IMG_SCALE
+    y = (y - jnp.asarray(mean12)) / jnp.asarray(std12)
+    return jnp.transpose(y, (0, 3, 1, 2)).astype(compute_dtype)
+
+
 def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
                    batch: Optional[int] = None, align_corners: bool = True,
                    compute_dtype=jnp.bfloat16, return_logits: bool = False,
@@ -143,38 +174,52 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
     # margins stay normalized-zero in both paths, preserving parity)
     use_s2d = h % 2 == 0 and w % 2 == 0
 
-    def infer(params, stats, img_u8):
-        x = img_u8 if img_u8.ndim == 4 else img_u8[None]
+    def _prep_nhwc(img):
         if use_s2d:
-            x = _normalize_s2d(x, compute_dtype)
+            x = _normalize_s2d(img, compute_dtype)
             x = jnp.pad(x, ((0, 0), (0, (hp - h) // 2),
                             (0, (wp - w) // 2), (0, 0)))
-            fmt = "s2d12"
-        else:
-            x = _normalize_on_device(x, compute_dtype)
-            # zero-pad bottom/right to the stride multiple (reference
-            # rule: pad the normalized image; open item SURVEY.md §7.4.3)
-            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-            fmt = "nhwc3"
+            return x, "s2d12"
+        x = _normalize_on_device(img, compute_dtype)
+        # zero-pad bottom/right to the stride multiple (reference
+        # rule: pad the normalized image; open item SURVEY.md §7.4.3)
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        return x, "nhwc3"
+
+    def infer(params, stats, img_u8):
+        img = img_u8 if img_u8.ndim == 4 else img_u8[None]
         if use_pallas and not return_logits:
-            # Fast path. Encoder stays XLA NHWC (measured 2.3 ms/frame
-            # vs 4.0 for the fused-CHW variant, models.fast_encoder —
-            # XLA's conv pipeline wins at MobileNet channel counts). The
-            # decoder flips to the Pallas CHW path (3.1 -> 2.2 ms/frame;
-            # 48-channel lane padding hurts XLA there), its channel-first
-            # logits feeding the fused upsample+argmax kernel.
+            # Fast path: full-CHW Pallas pipeline. Round 1 kept the XLA
+            # NHWC encoder (the then-kernels lost); with the round-2
+            # kernel fixes (dx-major + mask-after-dy-sum, trimmed halos,
+            # stride-2 quadrant kernel) the CHW encoder avoids XLA's
+            # C->128-lane-padded NHWC activations entirely (up to 10.7x
+            # HBM inflation at the early stages). Decoder and tail were
+            # CHW already; taps now arrive channel-first, transpose-free.
             from segtpu.kernels.upsample_argmax import upsample_argmax
-            from segtpu.models.encoders import mbv2_apply
             from segtpu.models.families import infer_family
             from segtpu.models.fast_decoder import (
                 build_fast_decoder, build_fast_template_decoder)
-            taps, _ = mbv2_apply(params["encoder"], stats["encoder"],
-                                 x, train=False, input_format=fmt)
+            if use_s2d:
+                x12 = _normalize_s2d_chw(img, compute_dtype)
+                x12 = jnp.pad(x12, ((0, 0), (0, 0), (0, (hp - h) // 2),
+                                    (0, (wp - w) // 2)))
+                from segtpu.models.fast_encoder import mbv2_chw_apply
+                taps = mbv2_chw_apply(params["encoder"], stats["encoder"],
+                                      x12, interpret=pallas_interpret)
+                taps_cf = True
+            else:
+                from segtpu.models.encoders import mbv2_apply
+                x, fmt = _prep_nhwc(img)
+                taps, _ = mbv2_apply(params["encoder"], stats["encoder"],
+                                     x, train=False, input_format=fmt)
+                taps_cf = False
             build = (build_fast_decoder
                      if infer_family(genotype).name == "micro"
                      else build_fast_template_decoder)
             dec = build(genotype, params["decoder"], stats["decoder"],
                         align_corners=align_corners,
+                        taps_channel_first=taps_cf,
                         interpret=pallas_interpret)
             logits_cf = dec(taps)
             out = upsample_argmax(
@@ -184,6 +229,7 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
                 tile_h=32 if pallas_interpret else 128,
                 interpret=pallas_interpret)
             return out if img_u8.ndim == 4 else out[0]
+        x, fmt = _prep_nhwc(img)
         logits, _, _ = segmenter_apply(genotype, params, stats, x,
                                        train=False,
                                        align_corners=align_corners,

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -148,7 +149,14 @@ def _dw_tap_sum(stack_masked, taps, combine, tile_p: int, w: int,
     return acc
 
 
-def _pw_kernel(wm_ref, b_ref, *refs, relu: bool, has_acc: bool):
+def _act(y, relu):
+    """relu: True -> ReLU, 'relu6' -> ReLU6, False -> identity."""
+    if relu == "relu6":
+        return jnp.clip(y, 0.0, 6.0)
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def _pw_kernel(wm_ref, b_ref, *refs, relu, has_acc: bool):
     """1x1 conv: no halo, no masks — one MXU dot per tile. With has_acc
     the last input is summed into the (post-activation) result — fusing
     the cell-node branch add saves one HBM round-trip per node."""
@@ -156,9 +164,7 @@ def _pw_kernel(wm_ref, b_ref, *refs, relu: bool, has_acc: bool):
     y = jax.lax.dot_general(
         wm_ref[0].astype(jnp.float32), x_ref[0].astype(jnp.float32),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    y = y + b_ref[:].astype(jnp.float32)
-    if relu:
-        y = jnp.maximum(y, 0.0)
+    y = _act(y + b_ref[:].astype(jnp.float32), relu)
     if has_acc:
         y = y + refs[1][0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
@@ -166,7 +172,7 @@ def _pw_kernel(wm_ref, b_ref, *refs, relu: bool, has_acc: bool):
 
 def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
                  k: int, dilation: int, depthwise: bool, h: int, w: int,
-                 tile_p: int, relu: bool, has_acc: bool = False,
+                 tile_p: int, relu, has_acc: bool = False,
                  center_valid: bool = True):
     out_ref = refs[-1]
     ti = pl.program_id(1)
@@ -185,9 +191,7 @@ def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
                 wm_ref[j].astype(jnp.float32), xs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     acc = _dw_tap_sum(stack, taps, combine, tile_p, w, halo_px)
-    y = acc + b_ref[:].astype(jnp.float32)
-    if relu:
-        y = jnp.maximum(y, 0.0)
+    y = _act(acc + b_ref[:].astype(jnp.float32), relu)
     if has_acc:
         y = y + refs[0][0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
@@ -431,26 +435,30 @@ def _invres_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
     row = row0 + (p - wpad) // w
     mid = jnp.where((row >= 0) & (row < h), mid, 0.0)
 
-    # dx-major dw loop (same trick as _dw_tap_sum): shift + column-mask
-    # once per distinct dx — lane-misaligned relayouts go 9 -> 3 — and
-    # let each tap take a lane-aligned dy*w sub-slice of the window.
+    # dx-major dw loop (same trick as _dw_tap_sum): shift once per
+    # distinct dx — lane-misaligned relayouts go 9 -> 3 — let each tap
+    # take a lane-aligned dy*w sub-slice of the window, and mask the
+    # dy-summed PARTIAL (column validity never depends on dy) so the
+    # unmasked window slices stay fusable.
     taps = _taps(3, 1, h, w)
     width = tile_p + 2 * w
-    q = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    pp = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
     acc = None
     for dx in sorted({t[2] for t in taps}):
         start = wpad + dx - w
         win = jax.lax.slice_in_dim(mid, start, start + width, axis=1)
-        if dx != 0:
-            colv = ((q % w) + dx >= 0) & ((q % w) + dx < w)
-            win = win * colv.astype(jnp.float32)
+        part = None
         for j, dy, dx_t in taps:
             if dx_t != dx:
                 continue
             base = w + dy * w
             xs = jax.lax.slice_in_dim(win, base, base + tile_p, axis=1)
             term = wdw_ref[j].astype(jnp.float32) * xs
-            acc = term if acc is None else acc + term
+            part = term if part is None else part + term
+        if dx != 0:
+            colv = ((pp % w) + dx >= 0) & ((pp % w) + dx < w)
+            part = part * colv.astype(jnp.float32)
+        acc = part if acc is None else acc + part
     acc = _relu6(acc + bdw_ref[:].astype(jnp.float32))
     y = jax.lax.dot_general(
         wproj_ref[0].astype(jnp.float32), acc, (((1,), (0,)), ((), ())),
@@ -477,7 +485,9 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     # pad materializes an HBM copy of the whole tensor around the
     # kernel (measured: the b0 shape 8x32x512x1024 ran 2x slower with
     # rows=45 padding 512 -> 540 than with the divisor 32)
-    budget_px = max(1024, int(6e6 / (4 * cmid)))
+    import os
+    budget_px = max(1024, int(
+        float(os.environ.get("SEGTPU_INVRES_BUDGET", "6e6")) / (4 * cmid)))
     target = max(2, min(h, max(budget_px // w, 2)))
     rows = None
     for r in range(target, min(h, target * 4) + 1):
@@ -523,3 +533,175 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     )(wexp, bexp, wdw, b_dw.reshape(cmid, 1), wproj,
       b_proj.reshape(c_out, 1), xf, xf, xf)
     return out.reshape(b, c_out, hp, w)[:, :, :h]
+
+
+# ---------------------------------------------------------------------------
+# Fused STRIDE-2 inverted residual. A stride-2 3x3 dw over the full grid
+# equals 9 ALIGNED taps over the four half-resolution quadrant planes
+# (s2d phases): tap (dy, dx) reads quadrant (dy&1, dx&1) at half-res
+# shift (si, sj) in {-1, 0}^2 — no strided loads anywhere. The quadrant
+# split happens outside (one cheap XLA copy on the unpadded CHW
+# tensor); expand and project fuse in-kernel as in inv_res_chw. Since
+# si, sj <= 0, only the PREVIOUS tile's halo is needed.
+# ---------------------------------------------------------------------------
+
+
+def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
+                      bproj_ref, xm0, x00, xm1, x01, xm2, x02, xm3, x03,
+                      out_ref, *, h2: int, w2: int, tile_p: int,
+                      expand: bool, center_valid: bool):
+    ti = pl.program_id(1)
+    row0 = ti * (tile_p // w2)
+    wpad = w2 + 1
+    views = [(xm0, x00), (xm1, x01), (xm2, x02), (xm3, x03)]
+    # tap (dy, dx) -> (quadrant ry*2+rx, si, sj, weight index)
+    def qmap(d):
+        return (0, 0) if d == 0 else (1, -1 if d == -1 else 0)
+    part_m = None   # sj == -1 taps (col-masked once at the end)
+    part_0 = None   # sj == 0 taps
+    for q in range(4):
+        ry, rx = q // 2, q % 2
+        q_taps = [((dy + 1) * 3 + dx + 1, qmap(dy)[1], qmap(dx)[1])
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                  if qmap(dy)[0] == ry and qmap(dx)[0] == rx]
+        if not q_taps:
+            continue
+        xm, x0 = views[q]
+        win = jnp.concatenate(
+            [jax.lax.slice_in_dim(xm[0, 0], tile_p - wpad, tile_p, axis=1),
+             x0[0, 0]], axis=1).astype(jnp.float32)  # [C, wpad + tile_p]
+        if expand:
+            mid = jax.lax.dot_general(
+                wexp_ref[0].astype(jnp.float32), win,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            mid = jnp.clip(mid + bexp_ref[:].astype(jnp.float32), 0.0, 6.0)
+        else:
+            mid = win
+        # SAME padding zeroes the dw INPUT (the expand output): mask the
+        # head halo (only the first tile can read above the image) and,
+        # with non-divisor tiles, the padded center rows
+        e = jax.lax.broadcasted_iota(jnp.int32, (1, wpad), 1)
+        headv = (row0 * w2 - wpad + e) >= 0
+        head = jnp.where(headv, mid[:, :wpad], 0.0)
+        body = mid[:, wpad:]
+        if not center_valid:
+            pc = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
+            body = jnp.where(row0 + pc // w2 < h2, body, 0.0)
+        mid = jnp.concatenate([head, body], axis=1)
+        for j, si, sj in q_taps:
+            start = wpad + si * w2 + sj
+            xs = jax.lax.slice_in_dim(mid, start, start + tile_p, axis=1)
+            term = wdw_ref[j].astype(jnp.float32) * xs
+            if sj == -1:
+                part_m = term if part_m is None else part_m + term
+            else:
+                part_0 = term if part_0 is None else part_0 + term
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
+    acc = part_0 + part_m * ((p % w2) >= 1).astype(jnp.float32)
+    acc = jnp.clip(acc + bdw_ref[:].astype(jnp.float32), 0.0, 6.0)
+    y = jax.lax.dot_general(
+        wproj_ref[0].astype(jnp.float32), acc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + bproj_ref[:].astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
+                   interpret: bool = False):
+    """Fused stride-2 inverted residual (torch pad=1 semantics).
+    x [B, C, H, W] (H, W even) -> [B, Cout, H/2, W/2]. All weights HWIO
+    with BN pre-folded; w_exp=None for t=1 blocks."""
+    import os
+    b, c, h, w = x.shape
+    assert h % 2 == 0 and w % 2 == 0
+    h2, w2 = h // 2, w // 2
+    expand = w_exp is not None
+    cmid = w_dw.shape[3]
+    c_out = w_proj.shape[3]
+    if w % 256 == 0:
+        # Quadrant split as row-phase block slices (lane-block aligned,
+        # cheap) + column deinterleave as EXACT 0/1 permutation matmuls
+        # on 256-lane blocks (the MXU permutation trick) — A/B'd on v5e
+        # at 8x16x512x1024: 1.8 ms vs 6.3 (reshape+transpose) vs 13
+        # (strided slices). bf16 matmul of 0/1 matrices is exact.
+        ev = np.zeros((256, 128), np.float32)
+        od = np.zeros((256, 128), np.float32)
+        for j in range(128):
+            ev[2 * j, j] = 1.0
+            od[2 * j + 1, j] = 1.0
+        ev = jnp.asarray(ev, x.dtype)
+        od = jnp.asarray(od, x.dtype)
+        xr = x.reshape(b, c, h2, 2, w)
+        qs = []
+        for ry in (0, 1):
+            r = xr[:, :, :, ry].reshape(b, c, h2, w // 256, 256)
+            for m in (ev, od):
+                q = jnp.einsum("bchkp,pq->bchkq", r, m)
+                qs.append(q.reshape(b, 1, c, h2 * w2))
+        xq = jnp.concatenate(qs, axis=1)   # q order (ry, rx) row-major
+    else:
+        xq = x.reshape(b, c, h2, 2, w2, 2)
+        xq = jnp.transpose(xq, (0, 3, 5, 1, 2, 4)).reshape(b, 4, c,
+                                                           h2 * w2)
+
+    budget_px = max(1024, int(
+        float(os.environ.get("SEGTPU_INVRES_BUDGET", "6e6")) / (4 * cmid)))
+    target = max(2, min(h2, max(budget_px // w2, 2)))
+    rows = None
+    for r in range(target, min(h2, target * 4) + 1):
+        if h2 % r == 0 and (r * w2) % 128 == 0:
+            rows = r
+            break
+    if rows is None:
+        for r in range(target, 1, -1):
+            if h2 % r == 0 and (r * w2) % 128 == 0:
+                rows = r
+                break
+    if rows is None:
+        rows = _lane_round(target, w2)
+    hp2 = _round_up(h2, rows)
+    if hp2 != h2:
+        xq = jnp.concatenate(
+            [xq, jnp.zeros((b, 4, c, (hp2 - h2) * w2), xq.dtype)], axis=3)
+    tile_p = rows * w2
+    n_tiles = hp2 * w2 // tile_p
+    if expand:
+        wexp = jnp.transpose(w_exp, (0, 1, 3, 2)).reshape(1, cmid, c)
+        bexp = b_exp.reshape(cmid, 1)
+    else:
+        wexp = jnp.zeros((1, 1, 1), x.dtype)
+        bexp = jnp.zeros((1, 1), x.dtype)
+    wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(9, cmid, 1)
+    wproj = jnp.transpose(w_proj, (0, 1, 3, 2)).reshape(1, c_out, cmid)
+
+    def qspec(q, fn):
+        return pl.BlockSpec((1, 1, c, tile_p),
+                            lambda bi, i, q=q, fn=fn: (bi, q, 0, fn(i)),
+                            memory_space=pltpu.VMEM)
+    x_specs = []
+    for q in range(4):
+        x_specs.append(qspec(q, lambda i: jnp.maximum(i - 1, 0)))
+        x_specs.append(qspec(q, lambda i: i))
+    out = pl.pallas_call(
+        functools.partial(_invres_s2_kernel, h2=h2, w2=w2, tile_p=tile_p,
+                          expand=expand, center_valid=hp2 == h2),
+        out_shape=jax.ShapeDtypeStruct((b, c_out, hp2 * w2), x.dtype),
+        grid=(b, n_tiles),
+        in_specs=[_full_spec(wexp.shape),
+                  _full_spec(bexp.shape),
+                  _full_spec(wdw.shape),
+                  _full_spec((cmid, 1)),
+                  _full_spec(wproj.shape),
+                  _full_spec((c_out, 1)),
+                  *x_specs],
+        out_specs=pl.BlockSpec((1, c_out, tile_p),
+                               lambda bi, i: (bi, 0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wexp, bexp, wdw, b_dw.reshape(cmid, 1), wproj,
+      b_proj.reshape(c_out, 1), *[xq] * 8)
+    return out.reshape(b, c_out, hp2, w2)[:, :, :h2]

@@ -97,3 +97,48 @@ def fast_mbv2_apply(params, stats, x, *, input_format: str = "nhwc3",
         if stage in _TAP_STAGES:
             taps.append(y)
     return taps
+
+
+def mbv2_chw_apply(params, stats, x12, *, interpret: bool = False
+                   ) -> List[jnp.ndarray]:
+    """Full-CHW MobileNet-v2 eval forward — every block a Pallas kernel.
+
+    x12: [B, 12, H/2, W/2] CHW space-to-depth planes of the normalized
+    image (engine._normalize_s2d_chw). Returns 4 CHW taps. Unlike
+    fast_mbv2_apply (the round-1 experiment), no tensor ever takes an
+    XLA NHWC layout: stride-1 blocks run kernels.inv_res_chw, stride-2
+    blocks kernels.inv_res_s2_chw (quadrant-plane taps), and the stem is
+    the s2d-folded 2x2 conv as a CHW Pallas conv. Rationale: the XLA
+    NHWC encoder's activations at C < 128 tile as (N, C->128-padded)
+    lanes — up to 10.7x HBM inflation at the early stages (profiled:
+    stem+block0 alone ~8.4 ms of a 29 ms batch-8 1024x2048 dispatch).
+    """
+    from segtpu.kernels.chw_ops import conv_chw, inv_res_chw, inv_res_s2_chw
+
+    wf, bf = _fold(params["stem"], stats["stem"])
+    w2 = stem_s2d_kernel(wf)   # 2x2/s1 over the s2d grid, pad (1,0)(1,0)
+    y = conv_chw(x12, w2, bf, k=2, relu="relu6", interpret=interpret)
+
+    taps = []
+    bi = 0
+    cin = 32
+    for stage, (t, c, n, s) in enumerate(_MBV2_CFG):
+        for i in range(n):
+            stride = s if i == 0 else 1
+            residual = stride == 1 and cin == c
+            p, st = params["blocks"][bi], stats["blocks"][bi]
+            we, be = (_fold(p["expand"], st["expand"])
+                      if "expand" in p else (None, None))
+            wd, bd = _fold(p["dw"], st["dw"])
+            wp, bp = _fold(p["project"], st["project"])
+            if stride == 1:
+                y = inv_res_chw(y, we, be, wd, bd, wp, bp,
+                                residual=residual, interpret=interpret)
+            else:
+                y = inv_res_s2_chw(y, we, be, wd, bd, wp, bp,
+                                   interpret=interpret)
+            cin = c
+            bi += 1
+        if stage in _TAP_STAGES:
+            taps.append(y)
+    return taps

@@ -64,3 +64,85 @@ def test_fast_encoder_matches_reference(fmt):
     for g, wnt in zip(got, want):
         g = np.transpose(np.asarray(g), (0, 2, 3, 1))
         np.testing.assert_allclose(g, np.asarray(wnt), rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("t,cin,cout", [
+    (6, 16, 24),
+    (1, 32, 16),
+])
+def test_inv_res_s2_kernel_matches_reference(t, cin, cout):
+    from segtpu.kernels.chw_ops import inv_res_s2_chw
+    from segtpu.models.encoders import _inv_res_init
+    key = jax.random.PRNGKey(4)
+    p, s = _inv_res_init(key, cin, cout, t, jnp.float32)
+    s = _rand_stats(s, seed=5)
+    rng = np.random.RandomState(6)
+    x = rng.randn(2, 24, 40, cin).astype(np.float32)
+    want, _ = _inv_res_apply(p, s, jnp.asarray(x), stride=2, t=t,
+                             residual=False, train=False)
+    want = np.asarray(want)
+
+    we, be = (fold_bn(p["expand"]["w"], p["expand"]["scale"],
+                      p["expand"]["bias"], s["expand"]["mean"],
+                      s["expand"]["var"]) if t != 1 else (None, None))
+    wd, bd = fold_bn(p["dw"]["w"], p["dw"]["scale"], p["dw"]["bias"],
+                     s["dw"]["mean"], s["dw"]["var"])
+    wp, bp = fold_bn(p["project"]["w"], p["project"]["scale"],
+                     p["project"]["bias"], s["project"]["mean"],
+                     s["project"]["var"])
+    x_chw = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+    got = inv_res_s2_chw(x_chw, we, be, wd, bd, wp, bp, interpret=True)
+    got = np.transpose(np.asarray(got), (0, 2, 3, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_chw_encoder_matches_reference():
+    """Full-CHW encoder (every block a Pallas kernel) == NHWC reference."""
+    from segtpu.models.fast_encoder import mbv2_chw_apply
+    params, stats = mbv2_init(jax.random.PRNGKey(0))
+    stats = _rand_stats(stats, seed=2)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32))
+    want, _ = mbv2_apply(params, stats, x, train=False)
+    x12 = jnp.transpose(space_to_depth(x), (0, 3, 1, 2))
+    got = mbv2_chw_apply(params, stats, x12, interpret=True)
+    assert len(got) == 4
+    for g, wnt in zip(got, want):
+        g = np.transpose(np.asarray(g), (0, 2, 3, 1))
+        np.testing.assert_allclose(g, np.asarray(wnt), rtol=2e-3, atol=2e-4)
+
+
+def test_normalize_s2d_chw_matches_nhwc():
+    from segtpu.engine.inference import _normalize_s2d, _normalize_s2d_chw
+    rng = np.random.RandomState(9)
+    img = jnp.asarray(rng.randint(0, 256, (2, 8, 128, 3), np.uint8))
+    want = np.transpose(
+        np.asarray(_normalize_s2d(img, jnp.float32)), (0, 3, 1, 2))
+    got = np.asarray(_normalize_s2d_chw(img, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_inv_res_s2_perm_split_path():
+    """W % 256 == 0 routes the quadrant split through the exact
+    permutation-matmul form — must equal the reference stride-2 block."""
+    from segtpu.kernels.chw_ops import inv_res_s2_chw
+    from segtpu.models.encoders import _inv_res_init
+    key = jax.random.PRNGKey(7)
+    p, s = _inv_res_init(key, 8, 16, 6, jnp.float32)
+    s = _rand_stats(s, seed=8)
+    rng = np.random.RandomState(9)
+    x = rng.randn(1, 16, 256, 8).astype(np.float32)
+    want, _ = _inv_res_apply(p, s, jnp.asarray(x), stride=2, t=6,
+                             residual=False, train=False)
+    we, be = fold_bn(p["expand"]["w"], p["expand"]["scale"],
+                     p["expand"]["bias"], s["expand"]["mean"],
+                     s["expand"]["var"])
+    wd, bd = fold_bn(p["dw"]["w"], p["dw"]["scale"], p["dw"]["bias"],
+                     s["dw"]["mean"], s["dw"]["var"])
+    wp, bp = fold_bn(p["project"]["w"], p["project"]["scale"],
+                     p["project"]["bias"], s["project"]["mean"],
+                     s["project"]["var"])
+    x_chw = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+    got = inv_res_s2_chw(x_chw, we, be, wd, bd, wp, bp, interpret=True)
+    got = np.transpose(np.asarray(got), (0, 2, 3, 1))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
