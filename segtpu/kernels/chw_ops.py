@@ -263,7 +263,9 @@ def _pick_rows(h: int, w: int, dilation: int, k: int) -> int:
     materializes an HBM copy of the whole tensor around every kernel
     (profiled at ~0.5 ms per op at 8x48x256x512 on v5e)."""
     halo = min(dilation * (k // 2), max(h - 1, 0))
-    target = max(halo + 1, min(h, max(4096 // w, 8)))
+    import os
+    tile_px = int(os.environ.get("SEGTPU_TILE_PX", "4096"))
+    target = max(halo + 1, min(h, max(tile_px // w, 8)))
     cap = min(h, max(target * 4, 16384 // max(w, 1) + 1))
     for rows in range(target, cap + 1):
         if h % rows == 0 and (rows * w) % 128 == 0:

@@ -578,7 +578,8 @@ def template_supernet_apply(spec: SupernetSpec, params, stats, masks,
 
 
 def measure_proxy_fidelity(cfg, *, k: int = 16, seed: int = 0,
-                           dataset=None, enc_params=None, enc_stats=None):
+                           dataset=None, enc_params=None, enc_stats=None,
+                           genotypes=None):
     """Train K sampled genotypes BOTH ways on the same cached encoder
     taps — (a) the faithful per-genotype stage-1 proxy (exact
     search.proxy_train stage-1 semantics) and (b) the masked-supernet
@@ -623,20 +624,27 @@ def measure_proxy_fidelity(cfg, *, k: int = 16, seed: int = 0,
     ctrl_spec = MicroControllerSpec(
         num_blocks=cfg.num_blocks, num_cell_nodes=cfg.num_cell_nodes,
         hidden_size=cfg.lstm_hidden_size, emb_size=cfg.op_size)
-    agent = create_agent(k_agent, spec=ctrl_spec)
 
-    # K DISTINCT genotypes (an untrained controller can repeat itself)
-    genos, acts, seen = [], [], set()
-    i = 0
-    while len(genos) < k and i < 50 * k:
-        g, a, _, _ = sample_genotype(agent, jax.random.fold_in(k_samp, i))
-        i += 1
-        key_g = repr(g)
-        if key_g in seen:
-            continue
-        seen.add(key_g)
-        genos.append(g)
-        acts.append(a)
+    if genotypes is not None:
+        # caller-fixed genotypes (deterministic ranking tests)
+        from segtpu.rl.controller import actions_from_genotype
+        genos = list(genotypes)
+        acts = [actions_from_genotype(g, ctrl_spec) for g in genos]
+    else:
+        agent = create_agent(k_agent, spec=ctrl_spec)
+        # K DISTINCT genotypes (an untrained controller can repeat itself)
+        genos, acts, seen = [], [], set()
+        i = 0
+        while len(genos) < k and i < 50 * k:
+            g, a, _, _ = sample_genotype(agent,
+                                         jax.random.fold_in(k_samp, i))
+            i += 1
+            key_g = repr(g)
+            if key_g in seen:
+                continue
+            seen.add(key_g)
+            genos.append(g)
+            acts.append(a)
 
     # --- (b) supernet path: one compiled program, K samples vmapped ---
     optimizer = optax.chain(optax.clip_by_global_norm(cfg.dec_grad_clip),

@@ -223,3 +223,28 @@ def test_supernet_matches_discrete_forward_on_equal_res_taps():
                                      train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_proxy_ranking_degenerate_below_real_in_both_modes():
+    """Proxy-fidelity ranking guard (VERDICT r1 next#3): a degenerate
+    all-`none` cell (every collected output is zero, so the head sees
+    only bias) must rank BELOW a real cell under BOTH the faithful
+    per-genotype stage-1 proxy and the supernet population proxy.
+    Deterministic companion to the measured K=16 Spearman of 0.66
+    (scripts/supernet_fidelity.py --tpu, docs/DESIGN.md)."""
+    from segtpu.supernet import measure_proxy_fidelity
+    # the strongest genotype from the measured K=16 sweep; 10 epochs —
+    # at 4 epochs a real arch has not yet separated from the
+    # degenerate's bias-trained constant prediction (~0.04 mIoU both)
+    real = [[3, [1, 1, 4, 6], [2, 2, 6, 5], [3, 0, 7, 8]],
+            [[0, 0], [1, 0], [3, 4]]]
+    degen = [[10, [1, 1, 10, 10], [2, 2, 10, 10], [3, 3, 10, 10]],
+             [[0, 1], [2, 3], [1, 2]]]
+    cfg = SearchConfig(synthetic=True, num_classes=5, crop_size=(64, 64),
+                       batch_size=(8, 8), num_epochs=(10, 0), seed=0)
+    rho, r_pg, r_sn, genos = measure_proxy_fidelity(
+        cfg, genotypes=[real, degen], seed=0)
+    assert r_pg[0] > r_pg[1], (r_pg, "discrete proxy mis-ranks")
+    assert r_sn[0] > r_sn[1], (r_sn, "supernet proxy mis-ranks")
+    assert rho == 1.0
