@@ -47,8 +47,8 @@ def main():
     hw = os.environ.get("BENCH_HW", "1024x2048")  # H x W
     h, w = (int(v) for v in hw.split("x"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "6"))
-    scan = int(os.environ.get("BENCH_SCAN", "8"))  # batches per dispatch
+    reps = int(os.environ.get("BENCH_REPS", "4"))
+    scan = int(os.environ.get("BENCH_SCAN", "24"))  # batches per dispatch
     arch = os.environ.get("BENCH_ARCH", "arch0")
     num_classes = 19  # CityScapes
 
