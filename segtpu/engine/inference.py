@@ -225,8 +225,11 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
             out = upsample_argmax(
                 logits_cf, (hp, wp), crop_hw=(h, w),
                 align_corners=align_corners, channel_first=True,
-                # small tiles in interpret mode (CPU tests on tiny maps)
-                tile_h=32 if pallas_interpret else 128,
+                # small tiles in interpret mode (CPU tests on tiny maps);
+                # 512-row tiles on TPU for tall outputs (swept: 2.26 ->
+                # 2.02 ms per b8 dispatch at 1024x2048)
+                tile_h=32 if pallas_interpret else
+                (512 if h >= 512 else 128),
                 interpret=pallas_interpret)
             return out if img_u8.ndim == 4 else out[0]
         x, fmt = _prep_nhwc(img)
