@@ -1,10 +1,8 @@
 """Analytic roofline for the fused inference program (VERDICT r1 #1).
 
-Walks the MBV2 encoder config + a decoder genotype at a given input
-shape and prints, per segment: FLOPs, minimum HBM bytes (each tensor
-written once / read once under perfect fusion), the binding resource,
-and the achievable time on the target chip. The table goes into
-docs/DESIGN.md; re-run after kernel changes.
+CLI printer over segtpu.utils.roofline.compute_roofline (the library
+form bench.py also imports). The table goes into docs/DESIGN.md;
+re-run after kernel changes.
 
 Usage: python scripts/roofline.py [HxW] [arch]
 """
@@ -14,123 +12,27 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# chip constants: TPU v5e (single core)
-PEAK_BF16_TFLOPS = 197.0
-PEAK_HBM_GBS = 819.0
-
-
-def fmt(section, flops_g, bytes_mb, note=""):
-    t_flop = flops_g / PEAK_BF16_TFLOPS            # ms (GF / TF/s = ms)
-    t_mem = bytes_mb / PEAK_HBM_GBS                # ms (MB / GB/s = ms)
-    bound = "MXU" if t_flop > t_mem else "HBM"
-    t = max(t_flop, t_mem)
-    print(f"{section:34s} {flops_g:8.2f} {bytes_mb:9.1f} {bound:>4s} "
-          f"{t:8.3f}  {note}")
-    return t
-
 
 def main():
-    from segtpu.models.encoders import _MBV2_CFG, _TAP_STAGES
-    from segtpu.models import ARCHS
-    from segtpu.ops.layer_factory import OP_NAMES, _CONV_SPECS
+    from segtpu.utils.roofline import (compute_roofline, PEAK_BF16_TFLOPS,
+                                       PEAK_HBM_GBS)
 
     hw = sys.argv[1] if len(sys.argv) > 1 else "1024x2048"
     h, w = (int(v) for v in hw.split("x"))
     arch = sys.argv[2] if len(sys.argv) > 2 else "arch0"
     num_classes = 19
-    agg = 48
-    bpe = 2  # bf16
 
+    r = compute_roofline(h, w, arch, num_classes=num_classes)
     print(f"# roofline @ {h}x{w}, {arch}, {num_classes} classes, bf16, "
           f"per FRAME (v5e: {PEAK_BF16_TFLOPS} TF/s, {PEAK_HBM_GBS} GB/s)")
     print(f"{'segment':34s} {'GFLOP':>8s} {'MB':>9s} {'bnd':>4s} "
           f"{'achv ms':>8s}")
-    total = 0.0
-
-    # --- front: u8 -> normalized s2d (perm matmuls) ---
-    px = h * w
-    front_flops = 2 * (h // 2) * ((w * 3) // 384) * 2 * 384 * 768 / 1e9
-    front_bytes = (px * 3 * 1 + (px // 4) * 12 * bpe * 2) / 1e6
-    total += fmt("front: normalize+s2d (perm mm)", front_flops, front_bytes)
-
-    # --- encoder ---
-    ph, pw_ = h // 2, w // 2
-    enc_flops = 2 * ph * pw_ * (2 * 2 * 12) * 32 / 1e9
-    enc_bytes = (px // 4 * 12 * bpe + ph * pw_ * 32 * bpe) / 1e6
-    total += fmt("encoder stem 2x2x12->32", enc_flops, enc_bytes)
-
-    cin = 32
-    eh, ew = ph, pw_
-    enc_f = enc_b = 0.0
-    for t, c, n, s in _MBV2_CFG:
-        for i in range(n):
-            stride = s if i == 0 else 1
-            mid = cin * t
-            oh, ow = eh // stride, ew // stride
-            f = 0.0
-            if t != 1:
-                f += 2 * eh * ew * cin * mid          # expand 1x1
-            f += 9 * oh * ow * mid                     # dw 3x3 (1 MAC/tap)
-            f *= 1  # MACs
-            f += 2 * oh * ow * mid * c                 # project
-            f = (2 * eh * ew * cin * mid if t != 1 else 0) \
-                + 2 * 9 * oh * ow * mid + 2 * oh * ow * mid * c
-            # fused block: read in, write out only (mid stays in VMEM)
-            b = (eh * ew * cin + oh * ow * c) * bpe
-            enc_f += f / 1e9
-            enc_b += b / 1e6
-            cin = c
-            eh, ew = oh, ow
-    total += fmt("encoder inv-res blocks (fused)", enc_f, enc_b,
-                 "mid tensors in VMEM")
-
-    # --- decoder (per-genotype) ---
-    genotype = ARCHS[arch]
-    cell, conns = genotype
-    taps_hw = [(h // 4, w // 4), (h // 8, w // 8), (h // 16, w // 16),
-               (h // 32, w // 32)]
-    tap_ch = [24, 32, 96, 320]
-    dec_f = dec_b = 0.0
-    pool_hw = list(taps_hw)
-    for (th, tw), c in zip(taps_hw, tap_ch):
-        dec_f += 2 * th * tw * c * agg / 1e9
-        dec_b += (th * tw * (c + agg)) * bpe / 1e6
-    ops_used = [cell[0]] + [o for nd in cell[1:] for o in (nd[2], nd[3])]
-    for bi, (i, j) in enumerate(conns):
-        bh = max(pool_hw[i][0], pool_hw[j][0])
-        bw = max(pool_hw[i][1], pool_hw[j][1])
-        pool_hw.append((bh, bw))
-        npx = bh * bw
-        # 2 agg 1x1 convs + resize (2-tap lerp) + cell ops
-        dec_f += 2 * 2 * npx * agg * agg / 1e9
-        dec_b += 4 * npx * agg * bpe / 1e6
-        for o in ops_used:
-            name = OP_NAMES[o]
-            if name in ("skip_connect", "none", "global_average_pool"):
-                dec_b += 2 * npx * agg * bpe / 1e6
-                continue
-            k, dil, sep = _CONV_SPECS[name]
-            if sep:
-                dec_f += (2 * k * k * npx * agg + 2 * npx * agg * agg) / 1e9
-            else:
-                dec_f += 2 * k * k * npx * agg * agg / 1e9
-            dec_b += 2 * npx * agg * bpe / 1e6
-    # head: concat collect + classifier at stride-4
-    npx = (h // 4) * (w // 4)
-    dec_f += 2 * npx * 2 * agg * num_classes / 1e9
-    dec_b += (npx * 2 * agg * bpe + npx * num_classes * bpe) / 1e6
-    total += fmt(f"decoder ({arch}, {agg}ch cells)", dec_f, dec_b,
-                 "per-op HBM round trips")
-
-    # --- tail: upsample+argmax (dense two-matmul form) ---
-    qh, qw = h // 4, w // 4
-    tail_f = num_classes * (2 * h * qh * qw + 2 * h * w * qw) / 1e9
-    tail_b = (qh * qw * num_classes * bpe + h * w) / 1e6
-    total += fmt("tail: upsample+argmax (dense mm)", tail_f, tail_b,
-                 "f32 MXU; sparse-exact form would be ~0.3 GF")
-
+    for s in r["segments"]:
+        print(f"{s['name']:34s} {s['gflop']:8.2f} {s['mb']:9.1f} "
+              f"{s['bound']:>4s} {s['achievable_ms']:8.3f}  {s['note']}")
     print(f"{'TOTAL (achievable)':34s} {'':8s} {'':9s} {'':4s} "
-          f"{total:8.3f}  -> {1e3/total:.0f} img/s/chip roofline")
+          f"{r['total_ms']:8.3f}  -> {r['roofline_ips']:.0f} img/s/chip "
+          f"roofline ({r['gflop_total']:.1f} GF/frame analytic)")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ the running estimate, biased for normalization.
 from __future__ import annotations
 
 import math
+import os as _os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -39,7 +40,8 @@ _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 # SITU (full fused inference program) the swap measured SLOWER
 # (189 -> 141 img/s): XLA fuses/layouts the dw better inside the full
 # graph than standalone. Default off; env knob kept for re-measurement.
-import os as _os
+# Read ONCE at import time — the value is baked into jitted programs,
+# so changing the env after first import has no effect.
 _DW_DENSE_MAX_CH = int(_os.environ.get("SEGTPU_DW_DENSE_MAX_CH", "0"))
 
 

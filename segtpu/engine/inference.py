@@ -135,14 +135,27 @@ def _normalize_s2d_chw(img_u8, compute_dtype):
         xo = xb[:, 1::2].astype(jnp.bfloat16)
         p0, p1 = _s2d_perm_mats()
         scale = IMG_SCALE / std12
+        fold_bf16 = compute_dtype == jnp.bfloat16
         planes = []
         for c in range(12):
             cols = np.arange(64) * 12 + c
-            p0c = jnp.asarray(p0[:, cols] * scale[c], jnp.bfloat16)
-            p1c = jnp.asarray(p1[:, cols] * scale[c], jnp.bfloat16)
-            bias = jnp.asarray(-mean12[c] / std12[c], jnp.bfloat16)
-            yc = (jnp.einsum("nhkp,pq->nhkq", xe, p0c)
-                  + jnp.einsum("nhkp,pq->nhkq", xo, p1c) + bias)
+            if fold_bf16:
+                # production path: fold scale/bias into the permutation
+                # (<= ~1 ulp of the bf16 result, as in _normalize_s2d)
+                p0c = jnp.asarray(p0[:, cols] * scale[c], jnp.bfloat16)
+                p1c = jnp.asarray(p1[:, cols] * scale[c], jnp.bfloat16)
+                bias = jnp.asarray(-mean12[c] / std12[c], jnp.bfloat16)
+                yc = (jnp.einsum("nhkp,pq->nhkq", xe, p0c)
+                      + jnp.einsum("nhkp,pq->nhkq", xo, p1c) + bias)
+            else:
+                # exact path: 0/1 bf16 permutation (exact on uint8),
+                # scale/bias applied in f32
+                p0c = jnp.asarray(p0[:, cols], jnp.bfloat16)
+                p1c = jnp.asarray(p1[:, cols], jnp.bfloat16)
+                yc = (jnp.einsum("nhkp,pq->nhkq", xe, p0c)
+                      + jnp.einsum("nhkp,pq->nhkq", xo, p1c))
+                yc = (yc.astype(jnp.float32) * np.float32(IMG_SCALE)
+                      - np.float32(mean12[c])) / np.float32(std12[c])
             planes.append(yc.reshape(n, h // 2, w // 2))
         return jnp.stack(planes, axis=1).astype(compute_dtype)
     from segtpu.models.encoders import space_to_depth
@@ -276,6 +289,10 @@ class Segmenter:
         self.num_classes = num_classes
         self.align_corners = align_corners
         self.compute_dtype = compute_dtype
+        # per-shape-bucket programs are minutes of cold compile; make
+        # them compile once per machine (persistent cache, VERDICT r2 #5)
+        from segtpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         device = device or jax.devices()[0]
         self._params = jax.device_put(params, device)
         self._stats = jax.device_put(stats, device)

@@ -26,12 +26,21 @@ NHWC reference implementation.
 from __future__ import annotations
 
 import functools
+import math
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# Tuning knobs, read ONCE at import time. Their values are baked into
+# jitted programs at trace time — changing the env after first import
+# (or first compile) has no effect on already-traced functions.
+_TILE_PX = int(os.environ.get("SEGTPU_TILE_PX", "4096"))
+_INVRES_BUDGET = float(os.environ.get("SEGTPU_INVRES_BUDGET", "6e6"))
 
 
 def _round_up(x, m):
@@ -248,6 +257,26 @@ def _flatten(x, rows_per_tile):
     return x.reshape(b, c, hp * w), hp
 
 
+def _pick_divisor_rows(h: int, w: int, target: int, cap: int,
+                       floor: int = 2):
+    """Shared row-tile search: a divisor of h with a 128-divisible lane
+    block (rows*w) % 128 == 0, preferring >= target (ascending to cap),
+    falling back to the largest < target down to `floor`. Returns None
+    when no divisor qualifies — callers then `_lane_round` (non-divisor,
+    forces a pad copy). A divisor is strongly preferred: a non-divisor
+    forces _flatten to PAD, and the pad materializes an HBM copy of the
+    whole tensor around every kernel (profiled ~0.5 ms per op at
+    8x48x256x512; the b0 shape 8x32x512x1024 ran 2x slower with rows=45
+    padding 512 -> 540 than with the divisor 32, v5e)."""
+    for rows in range(target, cap + 1):
+        if h % rows == 0 and (rows * w) % 128 == 0:
+            return rows
+    for rows in range(target - 1, floor - 1, -1):
+        if h % rows == 0 and (rows * w) % 128 == 0:
+            return rows
+    return None
+
+
 def _pick_rows(h: int, w: int, dilation: int, k: int) -> int:
     """Rows per tile. Invariants:
       * rows > effective halo (min(dil*(k//2), h-1)), so |dy| <= rows-1
@@ -258,26 +287,19 @@ def _pick_rows(h: int, w: int, dilation: int, k: int) -> int:
         60/30 taps exposed it). Rounding rows up may exceed h: the
         wrapper then pads to one full-array tile, which is exempt.
     Target ~4k pixels/tile (3 bf16 halo views + f32 accumulator fit
-    VMEM with the unrolled taps). Prefer a divisor of h satisfying both
-    constraints: a non-divisor forces _flatten to PAD, and the pad
-    materializes an HBM copy of the whole tensor around every kernel
-    (profiled at ~0.5 ms per op at 8x48x256x512 on v5e)."""
+    VMEM with the unrolled taps); SEGTPU_TILE_PX is read ONCE at import
+    time (values are baked into jitted programs)."""
     halo = min(dilation * (k // 2), max(h - 1, 0))
-    import os
-    tile_px = int(os.environ.get("SEGTPU_TILE_PX", "4096"))
-    target = max(halo + 1, min(h, max(tile_px // w, 8)))
+    target = max(halo + 1, min(h, max(_TILE_PX // w, 8)))
     cap = min(h, max(target * 4, 16384 // max(w, 1) + 1))
-    for rows in range(target, cap + 1):
-        if h % rows == 0 and (rows * w) % 128 == 0:
-            return rows
-    return _lane_round(target, w)
+    rows = _pick_divisor_rows(h, w, target, cap, floor=halo + 1)
+    return rows if rows is not None else _lane_round(target, w)
 
 
 def _lane_round(rows: int, w: int) -> int:
     """Round rows up so rows*w is a 128-multiple (Mosaic lane-block
     divisibility). May exceed h — the _flatten pad then yields one
     full-array tile, which Mosaic exempts."""
-    import math
     step = 128 // math.gcd(w, 128)
     return -(-rows // step) * step
 
@@ -482,25 +504,10 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     cmid = w_dw.shape[3]
     c_out = w_proj.shape[3]
     # tile sized so the f32 expanded window fits VMEM comfortably;
-    # prefer a divisor of h with a 128-divisible lane block, exactly
-    # like _pick_rows — a non-divisor forces _flatten to pad, and the
-    # pad materializes an HBM copy of the whole tensor around the
-    # kernel (measured: the b0 shape 8x32x512x1024 ran 2x slower with
-    # rows=45 padding 512 -> 540 than with the divisor 32)
-    import os
-    budget_px = max(1024, int(
-        float(os.environ.get("SEGTPU_INVRES_BUDGET", "6e6")) / (4 * cmid)))
+    # divisor-preferred row search shared with _pick_rows
+    budget_px = max(1024, int(_INVRES_BUDGET / (4 * cmid)))
     target = max(2, min(h, max(budget_px // w, 2)))
-    rows = None
-    for r in range(target, min(h, target * 4) + 1):
-        if h % r == 0 and (r * w) % 128 == 0:
-            rows = r
-            break
-    if rows is None:
-        for r in range(target, 1, -1):
-            if h % r == 0 and (r * w) % 128 == 0:
-                rows = r
-                break
+    rows = _pick_divisor_rows(h, w, target, min(h, target * 4))
     if rows is None:
         rows = _lane_round(target, w)
     xf, hp = _flatten(x, rows)
@@ -615,7 +622,6 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     """Fused stride-2 inverted residual (torch pad=1 semantics).
     x [B, C, H, W] (H, W even) -> [B, Cout, H/2, W/2]. All weights HWIO
     with BN pre-folded; w_exp=None for t=1 blocks."""
-    import os
     b, c, h, w = x.shape
     assert h % 2 == 0 and w % 2 == 0
     h2, w2 = h // 2, w // 2
@@ -648,19 +654,9 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         xq = jnp.transpose(xq, (0, 3, 5, 1, 2, 4)).reshape(b, 4, c,
                                                            h2 * w2)
 
-    budget_px = max(1024, int(
-        float(os.environ.get("SEGTPU_INVRES_BUDGET", "6e6")) / (4 * cmid)))
+    budget_px = max(1024, int(_INVRES_BUDGET / (4 * cmid)))
     target = max(2, min(h2, max(budget_px // w2, 2)))
-    rows = None
-    for r in range(target, min(h2, target * 4) + 1):
-        if h2 % r == 0 and (r * w2) % 128 == 0:
-            rows = r
-            break
-    if rows is None:
-        for r in range(target, 1, -1):
-            if h2 % r == 0 and (r * w2) % 128 == 0:
-                rows = r
-                break
+    rows = _pick_divisor_rows(h2, w2, target, min(h2, target * 4))
     if rows is None:
         rows = _lane_round(target, w2)
     hp2 = _round_up(h2, rows)

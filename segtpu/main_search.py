@@ -240,6 +240,10 @@ def cmd_bench(args):
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
+    # persistent XLA compile cache: per-genotype / per-shape-bucket
+    # programs compile once per MACHINE, not once per process
+    from segtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser("segtpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -107,7 +107,7 @@ def make_sharded_infer_fn(infer_fn, mesh: Mesh, *, mode: str = "data"):
       with use_pallas=False here — custom calls are opaque to the SPMD
       partitioner and would force gathers around the decoder.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     if mode == "data":
         flat = P(("data", "space"))
@@ -115,7 +115,7 @@ def make_sharded_infer_fn(infer_fn, mesh: Mesh, *, mode: str = "data"):
             infer_fn, mesh=mesh,
             in_specs=(P(), P(), P(("data", "space"), None, None, None)),
             out_specs=P(("data", "space"), None, None),
-            check_rep=False)
+            check_vma=False)
         mapped = jax.jit(mapped)
         n_shards = mesh.size
 

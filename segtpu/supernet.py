@@ -586,10 +586,10 @@ def measure_proxy_fidelity(cfg, *, k: int = 16, seed: int = 0,
     population step (exact run_supernet_search semantics) — and return
     (spearman, per_genotype_rewards, supernet_rewards, genotypes).
 
-    The supernet deviates from the discrete builder in resolution
-    (uniform stride-4) and head (summed vs concat collect); this is the
-    measurement that says whether those deviations change the RANKING
-    the controller learns from.
+    The supernet deviates from the discrete builder in resolution only
+    (uniform stride-4; the head has been concat-equivalent per-slot
+    since round 2); this is the measurement that says whether that
+    deviation changes the RANKING the controller learns from.
     """
     from segtpu import search as S
     from segtpu.data.datasets import BatchLoader, create_loaders

@@ -115,3 +115,30 @@ def test_engine_fast_path_matches_xla_path(arch1_model, genotype_key):
     got = np.asarray(fast_fn(params, stats, jnp.asarray(img)))
     assert got.shape == want.shape == (2, 40, 72)
     assert (got == want).mean() > 0.999  # identical up to fp ties
+
+
+def test_normalize_s2d_perm_matmul_branch_matches_reference():
+    """The W % 128 == 0 permutation-matmul branch of _normalize_s2d must
+    equal the space_to_depth -> normalize reference composition EXACTLY
+    in f32 (every output has ONE nonzero bf16-exact term; ADVICE r2: the
+    e2e tests only exercised the w=72 fallback branch, so a lane-mapping
+    regression in the perm path would have been silent)."""
+    from segtpu.engine.inference import _normalize_s2d, _normalize_s2d_chw
+    from segtpu.models.encoders import space_to_depth
+    from segtpu.utils.helpers import IMG_SCALE, IMG_STD
+
+    img = (np.random.RandomState(11).rand(2, 16, 256, 3) * 255).astype(
+        np.uint8)
+    ref = space_to_depth(jnp.asarray(img)).astype(jnp.float32) * IMG_SCALE
+    mean12 = np.tile(np.asarray(IMG_MEAN, np.float32), 4)
+    std12 = np.tile(np.asarray(IMG_STD, np.float32), 4)
+    ref = np.asarray((ref - mean12) / std12)
+
+    got = np.asarray(_normalize_s2d(jnp.asarray(img), jnp.float32))
+    assert got.shape == (2, 8, 128, 12)
+    np.testing.assert_array_equal(got, ref)
+
+    # CHW variant: same arithmetic, planes-first layout
+    got_chw = np.asarray(_normalize_s2d_chw(jnp.asarray(img), jnp.float32))
+    np.testing.assert_allclose(got_chw, np.transpose(ref, (0, 3, 1, 2)),
+                               rtol=0, atol=1e-6)
