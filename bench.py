@@ -62,8 +62,13 @@ def main():
     params = jax.device_put(params, dev)
     stats = jax.device_put(stats, dev)
 
+    # BENCH_PALLAS=0 measures the plain-XLA program — the variant the
+    # 'space' sharding mode runs (custom calls are opaque to the SPMD
+    # partitioner), so the multi-chip spatial story has a cost number
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") != "0"
     infer = build_infer_fn(genotype, num_classes=num_classes,
-                           input_hw=(h, w), compute_dtype=jnp.bfloat16)
+                           input_hw=(h, w), compute_dtype=jnp.bfloat16,
+                           use_pallas=use_pallas)
 
     # batched step, `scan` batches per dispatch (amortizes the relay's
     # ~24 ms dispatch+sync overhead). The frames are perturbed by the

@@ -1,0 +1,116 @@
+"""Run one NAS search to completion and record the reward curve
+(VERDICT r2 next #2 — BASELINE.json configs[4] is the full search; no
+end-to-end run had ever been recorded before round 3).
+
+Builds an on-disk color->class dataset (5 classes — wider reward spread
+than the 3-class e2e fixture), then runs the masked-supernet search
+(one compiled population step; rounds reuse it) and writes:
+
+  artifacts/search_demo/search_log.jsonl   per-arch records (SearchSaver)
+  artifacts/search_demo/search_state.json  controller ckpt metadata
+  artifacts/search_demo/summary.json       per-round mean/max/baseline
+
+Usage: python scripts/run_search_demo.py [population] [rounds] [outdir]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+COLORS = np.array([[200, 40, 40], [40, 200, 40], [40, 40, 200],
+                   [200, 200, 40], [40, 200, 200]], np.uint8)
+NUM_CLASSES = 5
+
+
+def write_dataset(root, n_train=24, n_val=8, hw=(64, 64), seed=0):
+    """Color-block PNGs with a 255-ignore border (same conventions as
+    tests/test_e2e_dataplane.py, 5 classes)."""
+    from PIL import Image
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+    os.makedirs(os.path.join(root, "masks"), exist_ok=True)
+    lists = {"train": [], "val": []}
+    for split, n in (("train", n_train), ("val", n_val)):
+        for i in range(n):
+            blocks = rng.randint(0, NUM_CLASSES, (4, 4))
+            mask = np.kron(blocks, np.ones((hw[0] // 4, hw[1] // 4),
+                                           np.uint8)).astype(np.uint8)
+            noise = rng.randint(-28, 29, (*hw, 3))
+            img = np.clip(COLORS[mask].astype(np.int32) + noise,
+                          0, 255).astype(np.uint8)
+            mask_out = mask.copy()
+            mask_out[:2] = mask_out[-2:] = 255
+            mask_out[:, :2] = mask_out[:, -2:] = 255
+            ip, mp = f"imgs/{split}_{i}.png", f"masks/{split}_{i}.png"
+            Image.fromarray(img).save(os.path.join(root, ip))
+            Image.fromarray(mask_out, mode="L").save(os.path.join(root, mp))
+            lists[split].append(f"{ip} {mp}")
+    for split in lists:
+        with open(os.path.join(root, f"{split}.lst"), "w") as f:
+            f.write("\n".join(lists[split]) + "\n")
+    return root
+
+
+def main():
+    from segtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import logging
+    logging.basicConfig(level=logging.INFO)
+
+    population = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    outdir = sys.argv[3] if len(sys.argv) > 3 else "artifacts/search_demo"
+
+    from segtpu.config import SearchConfig
+    from segtpu.supernet import run_supernet_search
+
+    os.makedirs(outdir, exist_ok=True)
+    data_root = os.path.join(outdir, "data")
+    write_dataset(data_root)
+
+    cfg = SearchConfig(
+        data_root=data_root,
+        train_list=os.path.join(data_root, "train.lst"),
+        val_list=os.path.join(data_root, "val.lst"),
+        num_classes=NUM_CLASSES, crop_size=(64, 64),
+        batch_size=(8, 8), num_epochs=(6, 0),
+        num_iters=rounds, seed=0,
+        snapshot_dir=outdir)
+
+    t0 = time.time()
+    saver = run_supernet_search(cfg, population=population)
+    wall = time.time() - t0
+
+    rows = {}
+    for rec in saver.history:
+        rows.setdefault(rec["round"], []).append(rec)
+    summary = []
+    for rnd in sorted(rows):
+        rw = [r["reward"] for r in rows[rnd]]
+        summary.append({"round": rnd,
+                        "mean": round(float(np.mean(rw)), 4),
+                        "max": round(float(np.max(rw)), 4),
+                        "min": round(float(np.min(rw)), 4),
+                        "baseline": round(rows[rnd][0]["baseline"], 4)})
+    best = saver.best(1)[0]
+    out = {"population": population, "rounds": rounds,
+           "wall_clock_s": round(wall, 1),
+           "per_round": summary,
+           "best": {"reward": best["reward"],
+                    "genotype": best["genotype"]}}
+    with open(os.path.join(outdir, "summary.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    for s in summary:
+        print(f"round {s['round']:3d}  mean {s['mean']:.4f}  "
+              f"max {s['max']:.4f}  baseline {s['baseline']:.4f}")
+    print(f"best reward {best['reward']:.4f}  wall {wall:.0f}s")
+    print(f"best genotype: {best['genotype']}")
+
+
+if __name__ == "__main__":
+    main()

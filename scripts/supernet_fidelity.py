@@ -1,9 +1,12 @@
 """Measure supernet-proxy fidelity: Spearman rank correlation between
 per-genotype stage-1 proxy rewards and supernet-mode rewards on the same
-synthetic data (VERDICT r1 next#3). Prints one JSON line; the measured
-number is recorded in docs/DESIGN.md.
+data (VERDICT r1 next#3; re-measured round 3 per VERDICT r2 next#4 on
+the on-disk color dataset — real reward spread — with K=32 and multiple
+seeds). Prints one JSON line per seed; the measured numbers are
+recorded in docs/DESIGN.md.
 
-Usage: python scripts/supernet_fidelity.py [K] [epochs]
+Usage: python scripts/supernet_fidelity.py [K] [epochs] [--tpu]
+           [--color] [--seeds 0,1]
 """
 
 import json
@@ -27,18 +30,45 @@ else:
 
 
 def main():
+    from segtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from segtpu.config import SearchConfig
     from segtpu.supernet import measure_proxy_fidelity
 
+    seeds = [0]
+    if "--seeds" in sys.argv:
+        i = sys.argv.index("--seeds")
+        seeds = [int(s) for s in sys.argv[i + 1].split(",")]
+        del sys.argv[i:i + 2]
+    use_color = "--color" in sys.argv
+    if use_color:
+        sys.argv.remove("--color")
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    cfg = SearchConfig(synthetic=True, num_classes=5, crop_size=(64, 64),
-                       batch_size=(8, 8), num_epochs=(epochs, 0), seed=0)
-    rho, r_pg, r_sn, genos = measure_proxy_fidelity(cfg, k=k, seed=0)
-    for g, a, b in zip(genos, r_pg, r_sn):
-        print(f"# discrete={a:.4f} supernet={b:.4f}  {g}", file=sys.stderr)
-    print(json.dumps({"metric": "supernet_proxy_spearman", "value": round(rho, 4),
-                      "k": len(genos), "epochs": epochs}))
+
+    dataset = None
+    data_kw = dict(synthetic=True)
+    if use_color:
+        # on-disk color->class task (wider reward spread than the
+        # synthetic band; see scripts/run_search_demo.py)
+        from run_search_demo import write_dataset, NUM_CLASSES
+        root = write_dataset("/tmp/segtpu_fidelity_data")
+        data_kw = dict(data_root=root,
+                       train_list=os.path.join(root, "train.lst"),
+                       val_list=os.path.join(root, "val.lst"))
+    cfg = SearchConfig(num_classes=5, crop_size=(64, 64),
+                       batch_size=(8, 8), num_epochs=(epochs, 0), seed=0,
+                       **data_kw)
+    for seed in seeds:
+        rho, r_pg, r_sn, genos = measure_proxy_fidelity(cfg, k=k, seed=seed)
+        for g, a, b in zip(genos, r_pg, r_sn):
+            print(f"# discrete={a:.4f} supernet={b:.4f}  {g}",
+                  file=sys.stderr)
+        print(json.dumps({"metric": "supernet_proxy_spearman",
+                          "value": round(rho, 4), "k": len(genos),
+                          "epochs": epochs, "seed": seed,
+                          "data": "color" if use_color else "synthetic"}),
+              flush=True)
 
 
 if __name__ == "__main__":

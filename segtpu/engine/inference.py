@@ -87,6 +87,11 @@ def _normalize_s2d(img_u8, compute_dtype):
     mean12 = np.tile(np.asarray(IMG_MEAN, np.float32), 4)
     std12 = np.tile(np.asarray(IMG_STD, np.float32), 4)
     if w % 128 == 0:
+        # (A K=768 single dot folding the even/odd row split into the
+        # contraction was tried in round 3: the [n, h/2, 2, k, 384] u8
+        # reshape made XLA assign pathological layouts — 4.6 + 2.8 ms
+        # of u8 copies at 1024x2048 b8. The two-dot form's strided row
+        # slices cost 0.43 ms. Keep the two-dot form.)
         xb = img_u8.reshape(n, h, (w * 3) // 384, 384)
         xe = xb[:, 0::2].astype(jnp.bfloat16)
         xo = xb[:, 1::2].astype(jnp.bfloat16)
@@ -125,7 +130,10 @@ def _normalize_s2d_chw(img_u8, compute_dtype):
     the full-CHW Pallas encoder (models.fast_encoder.mbv2_chw_apply).
     Per-channel permutation matmuls write each channel plane directly in
     its final flat-pixel layout — no NHWC tensor (and no 12->128 lane
-    padding) ever exists. Same arithmetic as _normalize_s2d."""
+    padding) ever exists. Same arithmetic as _normalize_s2d. (The
+    K=768-single-dot + plane-major-columns + transpose variant was
+    tried in round 3 and REGRESSED — the 5-D u8 reshape drew
+    pathological XLA layouts, 9.4 ms of front vs 1.9 for this form.)"""
     n, h, w, _ = img_u8.shape
     mean12 = np.tile(np.asarray(IMG_MEAN, np.float32), 4)
     std12 = np.tile(np.asarray(IMG_STD, np.float32), 4)

@@ -69,28 +69,33 @@ def _taps(k: int, dilation: int, h: int, w: int):
 
 
 def _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p: int, w: int,
-                  h: int, halo_px: int, center_valid: bool):
-    """Halo-stack [tail of prev | center | head of next] (only halo_px
-    lanes of each neighbour — round 1 concatenated all THREE full tiles,
-    tripling the VPU data movement of every kernel), zero out-of-image
-    rows, and convert to f32 — each ONCE. (Round 1 also kept the stack
-    bf16 and cast per tap; at 25 taps the per-tap converts dominated
-    the dw loop.)
+                  h: int, halo_px: int, center_valid: bool,
+                  dtype=jnp.float32):
+    """Halo-stack [tail of prev | center | head of next], zero
+    out-of-image rows, and convert to `dtype` — each ONCE. (Round 1
+    kept the stack bf16 and cast per tap; at 25 taps the per-tap
+    converts dominated the dw loop — so depthwise paths take f32 here.
+    Dense-dot paths keep the NATIVE dtype instead: bf16 dot operands
+    with f32 accumulation run the MXU at full rate — f32 operands
+    quarter it — and match the XLA conv path's numerics exactly.)
+
+    xm_ref/xp_ref are THIN halo-row views holding exactly halo_px lanes
+    (round 2 passed full neighbour tiles: every grid step then DMA'd
+    3 tiles, tripling read traffic — the reason every kernel sat at
+    ~2.5x its HBM floor in the round-2 trace).
 
     center_valid: with divisor row-tiles (hp == h) the center tile's
     rows are always in-image, so only the two halo_px-wide slices need
     the row-validity `where` — a full-window mask pass costs ~tile/halo
     times more VPU movement than the halo-only masks."""
-    head = jax.lax.slice_in_dim(xm_ref[0], tile_p - halo_px, tile_p,
-                                axis=1).astype(jnp.float32)
-    tail = jax.lax.slice_in_dim(xp_ref[0], 0, halo_px,
-                                axis=1).astype(jnp.float32)
+    head = xm_ref[0].astype(dtype)
+    tail = xp_ref[0].astype(dtype)
     ph = jax.lax.broadcasted_iota(jnp.int32, (1, halo_px), 1)
     head = jnp.where(row0 - (halo_px // w) + ph // w >= 0, head,
                      jnp.zeros_like(head))
     tail = jnp.where(row0 + (tile_p // w) + ph // w < h, tail,
                      jnp.zeros_like(tail))
-    center = x0_ref[0].astype(jnp.float32)
+    center = x0_ref[0].astype(dtype)
     if not center_valid:  # _flatten padded rows: mask the center too
         pc = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
         center = jnp.where(row0 + pc // w < h, center,
@@ -98,22 +103,15 @@ def _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p: int, w: int,
     return jnp.concatenate([head, center, tail], axis=1)
 
 
-def _halo_px(taps, w: int, tile_p: int) -> int:
-    """Lanes of neighbour-tile halo the stack needs: the largest row
-    shift plus one extra row to cover column shifts (|dx| < w). Clamped
-    to the tile (callers guarantee rows > max|dy|, so this only binds
-    on single-tile arrays)."""
-    dmax_dy = max((abs(dy) for _, dy, _ in taps), default=0)
-    return min((dmax_dy + 1) * w, tile_p)
-
-
-def _col_masks(taps, tile_p: int, w: int):
-    """Column-validity is static per dx: one 0/1 f32 mask per distinct
-    dx (shared across rows of taps)."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
-    col = p % w
-    return {dx: ((col + dx >= 0) & (col + dx < w)).astype(jnp.float32)
-            for dx in sorted({t[2] for t in taps})}
+def _halo_rows(rows: int, w: int, needed: int) -> int:
+    """Rows of neighbour-tile halo to DMA per grid step: the smallest
+    divisor of `rows` that covers `needed` halo rows with a
+    128-divisible lane count. Falls back to the full tile (`rows`) —
+    the round-2 behavior — when no thinner divisor qualifies."""
+    for d in range(min(needed, rows), rows):
+        if rows % d == 0 and (d * w) % 128 == 0:
+            return d
+    return rows
 
 
 def _dw_tap_sum(stack_masked, taps, combine, tile_p: int, w: int,
@@ -168,10 +166,14 @@ def _act(y, relu):
 def _pw_kernel(wm_ref, b_ref, *refs, relu, has_acc: bool):
     """1x1 conv: no halo, no masks — one MXU dot per tile. With has_acc
     the last input is summed into the (post-activation) result — fusing
-    the cell-node branch add saves one HBM round-trip per node."""
+    the cell-node branch add saves one HBM round-trip per node.
+
+    Dot operands keep their NATIVE dtype (bf16 in production) with f32
+    accumulation — f32 operands quarter the MXU rate; bf16-in/f32-accum
+    is exactly the XLA conv path's numerics."""
     x_ref, out_ref = refs[0], refs[-1]
     y = jax.lax.dot_general(
-        wm_ref[0].astype(jnp.float32), x_ref[0].astype(jnp.float32),
+        wm_ref[0], x_ref[0],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     y = _act(y + b_ref[:].astype(jnp.float32), relu)
     if has_acc:
@@ -181,25 +183,64 @@ def _pw_kernel(wm_ref, b_ref, *refs, relu, has_acc: bool):
 
 def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
                  k: int, dilation: int, depthwise: bool, h: int, w: int,
-                 tile_p: int, relu, has_acc: bool = False,
-                 center_valid: bool = True):
+                 tile_p: int, halo_px: int, relu, im2col: bool = False,
+                 has_acc: bool = False, center_valid: bool = True):
     out_ref = refs[-1]
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w)
     taps = _taps(k, dilation, h, w)
-    halo_px = _halo_px(taps, w, tile_p)
+    # depthwise taps convert to f32 ONCE here (per-tap converts dominate
+    # at 25 taps); dense dots keep the native dtype — bf16 operands with
+    # f32 accumulation run the MXU at full rate (f32 operands quarter
+    # it) and match the XLA conv path's numerics
     stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h,
-                          halo_px, center_valid)
+                          halo_px, center_valid,
+                          dtype=jnp.float32 if depthwise
+                          else x0_ref.dtype)
 
-    if depthwise:
-        def combine(j, xs):
-            return wm_ref[j].astype(jnp.float32) * xs
-    else:
-        def combine(j, xs):
-            return jax.lax.dot_general(
-                wm_ref[j].astype(jnp.float32), xs, (((1,), (0,)), ((), ())),
+    if im2col and not depthwise:
+        # small-C dense conv: per-tap dots have K = C (the stem's K=12
+        # wastes ~90% of each MXU pass). Stack tap slices channel-wise
+        # per dx GROUP — within a group the slices differ only by dy*w
+        # lanes, so their vreg offsets match and the sublane concat
+        # lowers (concatenating across dx groups does NOT: Mosaic
+        # rejects offset mismatches on the non-concat dim) — then one
+        # dot per group with K = C * taps_in_group, col-masking the
+        # group's dot OUTPUT (validity depends on dx only).
+        dmax_w = max((abs(dy) for _, dy, _ in taps), default=0) * w
+        width = tile_p + 2 * dmax_w
+        p = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
+        acc = None
+        off = 0
+        for dx in sorted({t[2] for t in taps}):
+            grp = [t for t in taps if t[2] == dx]
+            win = jax.lax.slice_in_dim(stack, halo_px + dx - dmax_w,
+                                       halo_px + dx - dmax_w + width,
+                                       axis=1)
+            pieces = [win[:, dmax_w + dy * w:dmax_w + dy * w + tile_p]
+                      for _, dy, _ in grp]
+            gk = len(grp) * pieces[0].shape[0]
+            part = jax.lax.dot_general(
+                wm_ref[0][:, off:off + gk],
+                jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                else pieces[0],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-    acc = _dw_tap_sum(stack, taps, combine, tile_p, w, halo_px)
+            off += gk
+            if dx != 0:
+                colv = ((p % w) + dx >= 0) & ((p % w) + dx < w)
+                part = part * colv.astype(jnp.float32)
+            acc = part if acc is None else acc + part
+    else:
+        if depthwise:
+            def combine(j, xs):
+                return wm_ref[j].astype(jnp.float32) * xs
+        else:
+            def combine(j, xs):
+                return jax.lax.dot_general(
+                    wm_ref[j], xs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        acc = _dw_tap_sum(stack, taps, combine, tile_p, w, halo_px)
     y = _act(acc + b_ref[:].astype(jnp.float32), relu)
     if has_acc:
         y = y + refs[0][0].astype(jnp.float32)
@@ -208,21 +249,22 @@ def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
 
 def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
                 *refs, k: int, dilation: int, h: int, w: int,
-                tile_p: int, has_acc: bool = False,
+                tile_p: int, halo_px: int, has_acc: bool = False,
                 center_valid: bool = True):
     out_ref = refs[-1]
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w)
     taps = _taps(k, dilation, h, w)
-    halo_px = _halo_px(taps, w, tile_p)
     stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h,
                           halo_px, center_valid)
     acc = _dw_tap_sum(stack, taps,
                       lambda j, xs: wdw_ref[j].astype(jnp.float32) * xs,
                       tile_p, w, halo_px)
     mid = jnp.maximum(acc + bdw_ref[:].astype(jnp.float32), 0.0)
+    # pw dot in native dtype (full-rate MXU; the XLA path also rounds
+    # the dw output to bf16 between ops)
     y = jax.lax.dot_general(
-        wpw_ref[0].astype(jnp.float32), mid, (((1,), (0,)), ((), ())),
+        wpw_ref[0], mid.astype(wpw_ref.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     y = jnp.maximum(y + bpw_ref[:].astype(jnp.float32), 0.0)
     if has_acc:
@@ -230,15 +272,37 @@ def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _x_specs(c, tile_p, n_tiles):
-    def spec(fn):
-        return pl.BlockSpec((1, c, tile_p),
-                            lambda bi, i: (bi, 0, fn(i)),
-                            memory_space=pltpu.VMEM)
+def _x_specs(c, tile_p, n_tiles, w=None, halo_rows=None):
+    """Center tile + neighbour views. With halo_rows set, the neighbour
+    views are THIN halo-row blocks (halo_rows divides rows) — the DMA
+    per grid step drops from 3 full tiles to 1 + 2*halo_rows/rows tiles.
+    Boundary clamps read in-image blocks; the kernels' row-validity
+    masks zero them."""
+    if halo_rows is None:
+        def spec(fn):
+            return pl.BlockSpec((1, c, tile_p),
+                                lambda bi, i: (bi, 0, fn(i)),
+                                memory_space=pltpu.VMEM)
+        return [
+            spec(lambda i: jnp.maximum(i - 1, 0)),
+            spec(lambda i: i),
+            spec(lambda i: jnp.minimum(i + 1, n_tiles - 1)),
+        ]
+    rows = tile_p // w
+    ratio = rows // halo_rows
+    n_halo = n_tiles * ratio
+    halo_px = halo_rows * w
     return [
-        spec(lambda i: jnp.maximum(i - 1, 0)),
-        spec(lambda i: i),
-        spec(lambda i: jnp.minimum(i + 1, n_tiles - 1)),
+        pl.BlockSpec((1, c, halo_px),
+                     lambda bi, i: (bi, 0, jnp.maximum(i * ratio - 1, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c, tile_p), lambda bi, i: (bi, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c, halo_px),
+                     lambda bi, i: (bi, 0,
+                                    jnp.minimum((i + 1) * ratio,
+                                                n_halo - 1)),
+                     memory_space=pltpu.VMEM),
     ]
 
 
@@ -318,8 +382,8 @@ def conv_chw(x, w_folded, bias, acc=None, *, k: int, dilation: int = 1,
         c_out = c
     else:
         c_out = w_folded.shape[3]
-        wm = jnp.transpose(w_folded, (0, 1, 3, 2)).reshape(k * k, c_out,
-                                                           w_folded.shape[2])
+        wm = jnp.transpose(w_folded, (0, 1, 3, 2)).reshape(
+            k * k, c_out, w_folded.shape[2]).astype(x.dtype)
     rows = _pick_rows(h, w, dilation, k)
     xf, hp = _flatten(x, rows)
     tile_p = rows * w
@@ -352,16 +416,31 @@ def conv_chw(x, w_folded, bias, acc=None, *, k: int, dilation: int = 1,
             interpret=interpret,
         )(wm, bias.reshape(c_out, 1), xf, *acc_ops)
         return out.reshape(b, c_out, hp, w)[:, :, :h]
+    taps_l = _taps(k, dilation, h, w)
+    dmax_dy = max((abs(dy) for _, dy, _ in taps_l), default=0)
+    halo_rows = _halo_rows(rows, w, min(dmax_dy + 1, rows))
+    # w % 128: dy*w lane shifts then change vreg offsets within a dx
+    # group and the sublane concat stops lowering (Mosaic offset rule)
+    im2col = not depthwise and c * len(taps_l) <= 256 and w % 128 == 0
+    if im2col:
+        # [k*k, c_out, c] -> [1, c_out, n_taps*c], dx-group-major to
+        # match the kernel's per-group stacking order
+        order = [j for dx in sorted({t[2] for t in taps_l})
+                 for j, _, dxt in taps_l if dxt == dx]
+        wm = jnp.transpose(
+            jnp.stack([wm[j] for j in order], 0),
+            (1, 0, 2)).reshape(1, c_out, len(taps_l) * c)
     out = pl.pallas_call(
         functools.partial(_conv_kernel, k=k, dilation=dilation,
                           depthwise=depthwise, h=h, w=w, tile_p=tile_p,
+                          halo_px=halo_rows * w, im2col=im2col,
                           relu=relu, has_acc=acc is not None,
                           center_valid=hp == h),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
         grid=(b, n_tiles),
         in_specs=[_full_spec(wm.shape),
                   _full_spec((c_out, 1)),
-                  *_x_specs(c, tile_p, n_tiles),
+                  *_x_specs(c, tile_p, n_tiles, w, halo_rows),
                   *acc_specs],
         out_specs=pl.BlockSpec((1, c_out, tile_p),
                                lambda bi, i: (bi, 0, i),
@@ -382,7 +461,7 @@ def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, acc=None, *, k: int,
     b, c, h, w = x.shape
     wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(k * k, c, 1)
     c_out = w_pw.shape[3]
-    wpw = jnp.transpose(w_pw, (0, 1, 3, 2)).reshape(1, c_out, c)
+    wpw = jnp.transpose(w_pw, (0, 1, 3, 2)).reshape(1, c_out, c).astype(x.dtype)
     rows = _pick_rows(h, w, dilation, k)
     xf, hp = _flatten(x, rows)
     tile_p = rows * w
@@ -394,9 +473,13 @@ def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, acc=None, *, k: int,
         acc_specs = [pl.BlockSpec((1, c_out, tile_p),
                                   lambda bi, i: (bi, 0, i),
                                   memory_space=pltpu.VMEM)]
+    dmax_dy = max((abs(dy) for _, dy, _ in _taps(k, dilation, h, w)),
+                  default=0)
+    halo_rows = _halo_rows(rows, w, min(dmax_dy + 1, rows))
     out = pl.pallas_call(
         functools.partial(_sep_kernel, k=k, dilation=dilation, h=h, w=w,
-                          tile_p=tile_p, has_acc=acc is not None,
+                          tile_p=tile_p, halo_px=halo_rows * w,
+                          has_acc=acc is not None,
                           center_valid=hp == h),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
         grid=(b, n_tiles),
@@ -404,7 +487,7 @@ def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, acc=None, *, k: int,
                   _full_spec((c, 1)),
                   _full_spec(wpw.shape),
                   _full_spec((c_out, 1)),
-                  *_x_specs(c, tile_p, n_tiles),
+                  *_x_specs(c, tile_p, n_tiles, w, halo_rows),
                   *acc_specs],
         out_specs=pl.BlockSpec((1, c_out, tile_p),
                                lambda bi, i: (bi, 0, i),
@@ -431,28 +514,31 @@ def _relu6(x):
 
 
 def _invres_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
-                   bproj_ref, xm_ref, x0_ref, xp_ref, out_ref, *,
-                   h: int, w: int, tile_p: int, expand: bool,
-                   residual: bool):
+                   bproj_ref, xm_ref, x0_ref, xp_ref, *out_refs,
+                   h: int, w: int, tile_p: int, halo_px: int, expand: bool,
+                   residual: bool, row_split=False):
+    out_ref = out_refs[0]
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w)
     # window = center tile + one halo row + 1px each side (the corner
-    # taps (±1, ±1) reach w+1 pixels out); only the needed wpad lanes of
-    # each neighbour tile are touched (round 1 concatenated all three
-    # full tiles — 3x the VPU data movement)
+    # taps (±1, ±1) reach w+1 pixels out); xm/xp are thin halo-row views
+    # of halo_px lanes (full neighbour tiles until round 3 — 3x the DMA)
     wpad = w + 1
+    # native-dtype window: the expand dot takes bf16 operands with f32
+    # accumulation (f32 operands quarter the MXU rate — and the expand
+    # dominates these blocks' MXU time at K = Cin as low as 16)
     win = jnp.concatenate(
-        [jax.lax.slice_in_dim(xm_ref[0], tile_p - wpad, tile_p, axis=1),
+        [jax.lax.slice_in_dim(xm_ref[0], halo_px - wpad, halo_px, axis=1),
          x0_ref[0],
          jax.lax.slice_in_dim(xp_ref[0], 0, wpad, axis=1)],
-        axis=1).astype(jnp.float32)                  # [C, tile_p + 2wpad]
+        axis=1)                                      # [C, tile_p + 2wpad]
     if expand:
         mid = jax.lax.dot_general(
-            wexp_ref[0].astype(jnp.float32), win, (((1,), (0,)), ((), ())),
+            wexp_ref[0], win, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         mid = _relu6(mid + bexp_ref[:].astype(jnp.float32))
     else:
-        mid = win
+        mid = win.astype(jnp.float32)
     # zero rows outside the image AFTER the expand (SAME padding zeroes
     # the dw input, which is the expand output, not the raw input)
     p = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p + 2 * wpad), 1)
@@ -485,19 +571,49 @@ def _invres_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
         acc = part if acc is None else acc + part
     acc = _relu6(acc + bdw_ref[:].astype(jnp.float32))
     y = jax.lax.dot_general(
-        wproj_ref[0].astype(jnp.float32), acc, (((1,), (0,)), ((), ())),
+        wproj_ref[0], acc.astype(wproj_ref.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     y = y + bproj_ref[:].astype(jnp.float32)
     if residual:
         y = y + x0_ref[0].astype(jnp.float32)
-    out_ref[0] = y.astype(out_ref.dtype)
+    if row_split:
+        # emit row-parity planes straight from registers: plane ry gets
+        # the tile's rows 2i+ry (static lane slices + concat — free data
+        # movement vs the 4-D strided sublane gather XLA does for the
+        # stride-2 quadrant split, profiled ~2.4 ms/b8-dispatch total).
+        # "dual" additionally writes the plain output (for blocks whose
+        # output is BOTH a decoder tap and a stride-2 input: one extra
+        # sequential write instead of a read + strided gather).
+        if row_split == "dual":
+            pair_ref, plain_ref = out_refs
+            plain_ref[0] = y.astype(plain_ref.dtype)
+        else:
+            pair_ref = out_ref
+        y = y.astype(pair_ref.dtype)
+        rows = tile_p // w
+        for ry in (0, 1):
+            pair_ref[0, ry] = jnp.concatenate(
+                [jax.lax.slice_in_dim(y, (2 * i + ry) * w,
+                                      (2 * i + ry + 1) * w, axis=1)
+                 for i in range(rows // 2)], axis=1)
+    else:
+        out_ref[0] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("residual", "interpret"))
+@functools.partial(jax.jit, static_argnames=("residual", "row_split",
+                                             "interpret"))
 def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
-                residual: bool = False, interpret: bool = False):
+                residual: bool = False, row_split: bool = False,
+                interpret: bool = False):
     """Fused stride-1 inverted residual. x [B, C, H, W] -> [B, Cout, H, W].
     All weights HWIO with BN pre-folded; pass w_exp=None for t=1 blocks.
+
+    row_split: emit row-parity planes [B, 2, Cout, H/2, W] (plane ry =
+    rows 2i+ry) for a following stride-2 block (inv_res_s2_chw consumes
+    them directly) — the row half of the quadrant split happens in the
+    kernel's output write instead of a strided XLA gather. Requires H
+    even and an even divisor row-tile; falls back to the plain output +
+    XLA gather otherwise.
     """
     b, c, h, w = x.shape
     expand = w_exp is not None
@@ -510,21 +626,46 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     rows = _pick_divisor_rows(h, w, target, min(h, target * 4))
     if rows is None:
         rows = _lane_round(target, w)
+    if row_split and (h % 2 or rows % 2 or h % rows):
+        assert h % 2 == 0, "row_split requires even H"
+        y = inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj,
+                        residual=residual, interpret=interpret)
+        pair = jnp.transpose(y.reshape(b, c_out, h // 2, 2, w),
+                             (0, 3, 1, 2, 4))
+        return (pair, y) if row_split == "dual" else pair
     xf, hp = _flatten(x, rows)
     tile_p = rows * w
     n_tiles = hp * w // tile_p
     if expand:
-        wexp = jnp.transpose(w_exp, (0, 1, 3, 2)).reshape(1, cmid, c)
+        wexp = jnp.transpose(w_exp, (0, 1, 3, 2)).reshape(1, cmid, c).astype(x.dtype)
         bexp = b_exp.reshape(cmid, 1)
     else:  # placeholders keep the arg list static
         wexp = jnp.zeros((1, 1, 1), x.dtype)
         bexp = jnp.zeros((1, 1), x.dtype)
     wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(9, cmid, 1)
-    wproj = jnp.transpose(w_proj, (0, 1, 3, 2)).reshape(1, c_out, cmid)
+    wproj = jnp.transpose(w_proj, (0, 1, 3, 2)).reshape(1, c_out, cmid).astype(x.dtype)
+    pair_shape = jax.ShapeDtypeStruct((b, 2, c_out, (hp // 2) * w), x.dtype)
+    pair_spec = pl.BlockSpec((1, 2, c_out, (rows // 2) * w),
+                             lambda bi, i: (bi, 0, 0, i),
+                             memory_space=pltpu.VMEM)
+    plain_shape = jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype)
+    plain_spec = pl.BlockSpec((1, c_out, tile_p),
+                              lambda bi, i: (bi, 0, i),
+                              memory_space=pltpu.VMEM)
+    if row_split == "dual":
+        out_shape = (pair_shape, plain_shape)
+        out_specs = (pair_spec, plain_spec)
+    elif row_split:
+        out_shape, out_specs = pair_shape, pair_spec
+    else:
+        out_shape, out_specs = plain_shape, plain_spec
+    halo_rows = _halo_rows(rows, w, 2)
     out = pl.pallas_call(
         functools.partial(_invres_kernel, h=h, w=w, tile_p=tile_p,
-                          expand=expand, residual=residual),
-        out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
+                          halo_px=halo_rows * w,
+                          expand=expand, residual=residual,
+                          row_split=row_split),
+        out_shape=out_shape,
         grid=(b, n_tiles),
         in_specs=[_full_spec(wexp.shape),
                   _full_spec(bexp.shape),
@@ -532,15 +673,19 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
                   _full_spec((cmid, 1)),
                   _full_spec(wproj.shape),
                   _full_spec((c_out, 1)),
-                  *_x_specs(c, tile_p, n_tiles)],
-        out_specs=pl.BlockSpec((1, c_out, tile_p),
-                               lambda bi, i: (bi, 0, i),
-                               memory_space=pltpu.VMEM),
+                  *_x_specs(c, tile_p, n_tiles, w, halo_rows)],
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(wexp, bexp, wdw, b_dw.reshape(cmid, 1), wproj,
       b_proj.reshape(c_out, 1), xf, xf, xf)
+    if row_split == "dual":
+        pair, plain = out
+        return (pair.reshape(b, 2, c_out, hp // 2, w)[:, :, :, :h // 2],
+                plain.reshape(b, c_out, hp, w)[:, :, :h])
+    if row_split:
+        return out.reshape(b, 2, c_out, hp // 2, w)[:, :, :, :h // 2]
     return out.reshape(b, c_out, hp, w)[:, :, :h]
 
 
@@ -558,7 +703,7 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
 def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
                       bproj_ref, xm0, x00, xm1, x01, xm2, x02, xm3, x03,
                       out_ref, *, h2: int, w2: int, tile_p: int,
-                      expand: bool, center_valid: bool):
+                      halo_px: int, expand: bool, center_valid: bool):
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w2)
     wpad = w2 + 1
@@ -577,16 +722,17 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
             continue
         xm, x0 = views[q]
         win = jnp.concatenate(
-            [jax.lax.slice_in_dim(xm[0, 0], tile_p - wpad, tile_p, axis=1),
-             x0[0, 0]], axis=1).astype(jnp.float32)  # [C, wpad + tile_p]
+            [jax.lax.slice_in_dim(xm[0, 0], halo_px - wpad, halo_px,
+                                  axis=1),
+             x0[0, 0]], axis=1)                      # [C, wpad + tile_p]
         if expand:
+            # native-dtype operands: full-rate MXU (see _invres_kernel)
             mid = jax.lax.dot_general(
-                wexp_ref[0].astype(jnp.float32), win,
-                (((1,), (0,)), ((), ())),
+                wexp_ref[0], win, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             mid = jnp.clip(mid + bexp_ref[:].astype(jnp.float32), 0.0, 6.0)
         else:
-            mid = win
+            mid = win.astype(jnp.float32)
         # SAME padding zeroes the dw INPUT (the expand output): mask the
         # head halo (only the first tile can read above the image) and,
         # with non-divisor tiles, the padded center rows
@@ -610,7 +756,7 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
     acc = part_0 + part_m * ((p % w2) >= 1).astype(jnp.float32)
     acc = jnp.clip(acc + bdw_ref[:].astype(jnp.float32), 0.0, 6.0)
     y = jax.lax.dot_general(
-        wproj_ref[0].astype(jnp.float32), acc, (((1,), (0,)), ((), ())),
+        wproj_ref[0], acc.astype(wproj_ref.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     y = y + bproj_ref[:].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
@@ -621,38 +767,76 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
                    interpret: bool = False):
     """Fused stride-2 inverted residual (torch pad=1 semantics).
     x [B, C, H, W] (H, W even) -> [B, Cout, H/2, W/2]. All weights HWIO
-    with BN pre-folded; w_exp=None for t=1 blocks."""
-    b, c, h, w = x.shape
-    assert h % 2 == 0 and w % 2 == 0
-    h2, w2 = h // 2, w // 2
+    with BN pre-folded; w_exp=None for t=1 blocks.
+
+    x may also be PRE-ROW-SPLIT [B, 2, C, H/2, W] (plane ry = full-res
+    rows 2i+ry, the inv_res_chw(row_split=True) output): the row half of
+    the quadrant split — the expensive strided gather — is then already
+    done, and only the column deinterleave (cheap MXU permutation
+    matmuls) happens here."""
+    if x.ndim == 5:
+        b, _, c, h2, w = x.shape
+        h = 2 * h2
+        # NOTE: slicing the flat pair and reshaping per-plane straight
+        # to the einsum shape was tried and is WORSE (two 1.08 ms
+        # T(4,128) retiles vs 0.41 + 0.29 through the 5-D view) —
+        # keep the 5-D plane slices
+        row_planes = (x[:, 0], x[:, 1])        # each [B, C, H/2, W]
+    else:
+        b, c, h, w = x.shape
+        assert h % 2 == 0
+        h2 = h // 2
+        row_planes = None
+    assert w % 2 == 0
+    w2 = w // 2
     expand = w_exp is not None
     cmid = w_dw.shape[3]
     c_out = w_proj.shape[3]
-    if w % 256 == 0:
+    if w % 128 == 0:
         # Quadrant split as row-phase block slices (lane-block aligned,
         # cheap) + column deinterleave as EXACT 0/1 permutation matmuls
         # on 256-lane blocks (the MXU permutation trick) — A/B'd on v5e
         # at 8x16x512x1024: 1.8 ms vs 6.3 (reshape+transpose) vs 13
         # (strided slices). bf16 matmul of 0/1 matrices is exact.
-        ev = np.zeros((256, 128), np.float32)
-        od = np.zeros((256, 128), np.float32)
-        for j in range(128):
+        # chunk = w (no k-split) keeps the einsum lhs in the dot-natural
+        # (M-minor, K) layout; cap the permutation matrix at 2 MB f32
+        chunk = w if w <= 1024 else (256 if w % 256 == 0 else 128)
+        ev = np.zeros((chunk, chunk // 2), np.float32)
+        od = np.zeros((chunk, chunk // 2), np.float32)
+        for j in range(chunk // 2):
             ev[2 * j, j] = 1.0
             od[2 * j + 1, j] = 1.0
         ev = jnp.asarray(ev, x.dtype)
         od = jnp.asarray(od, x.dtype)
-        xr = x.reshape(b, c, h2, 2, w)
+        # (One K-chunk dot over the whole 6-D-reshaped pair was tried:
+        # the [.., k, chunk] retile of the flat pair lowers to a
+        # pathological T(4,128) copy — 2.3 ms/b8 vs ~1.1 for the 5-D
+        # slice route. Keep per-plane einsums; skip the 4-quadrant
+        # concat by passing the per-quadrant arrays straight to the
+        # pallas specs.)
+        if row_planes is None:
+            xr = x.reshape(b, c, h2, 2, w)
+            row_planes = (xr[:, :, :, 0], xr[:, :, :, 1])
         qs = []
-        for ry in (0, 1):
-            r = xr[:, :, :, ry].reshape(b, c, h2, w // 256, 256)
+        for rp in row_planes:
+            r = rp.reshape(b, c, h2, w // chunk, chunk)
             for m in (ev, od):
                 q = jnp.einsum("bchkp,pq->bchkq", r, m)
                 qs.append(q.reshape(b, 1, c, h2 * w2))
-        xq = jnp.concatenate(qs, axis=1)   # q order (ry, rx) row-major
+        q_arrays = [(qs[q], 0) for q in range(4)]  # (ry, rx) row-major
+    elif row_planes is not None:
+        qs = []
+        for rp in row_planes:
+            r = rp.reshape(b, c, h2, w2, 2)
+            for rx in (0, 1):
+                qs.append(r[..., rx].reshape(b, 1, c, h2 * w2))
+        xq = jnp.concatenate(qs, axis=1)
+        q_arrays = [(xq, q) for q in range(4)]
     else:
         xq = x.reshape(b, c, h2, 2, w2, 2)
         xq = jnp.transpose(xq, (0, 3, 5, 1, 2, 4)).reshape(b, 4, c,
                                                            h2 * w2)
+        q_arrays = [(xq, q) for q in range(4)]
 
     budget_px = max(1024, int(_INVRES_BUDGET / (4 * cmid)))
     target = max(2, min(h2, max(budget_px // w2, 2)))
@@ -661,29 +845,42 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         rows = _lane_round(target, w2)
     hp2 = _round_up(h2, rows)
     if hp2 != h2:
-        xq = jnp.concatenate(
-            [xq, jnp.zeros((b, 4, c, (hp2 - h2) * w2), xq.dtype)], axis=3)
+        pad = {}
+        q_arrays = [
+            (pad.setdefault(id(a), jnp.concatenate(
+                [a, jnp.zeros(a.shape[:3] + ((hp2 - h2) * w2,), a.dtype)],
+                axis=3)), pi)
+            for a, pi in q_arrays]
     tile_p = rows * w2
     n_tiles = hp2 * w2 // tile_p
     if expand:
-        wexp = jnp.transpose(w_exp, (0, 1, 3, 2)).reshape(1, cmid, c)
+        wexp = jnp.transpose(w_exp, (0, 1, 3, 2)).reshape(1, cmid, c).astype(x.dtype)
         bexp = b_exp.reshape(cmid, 1)
     else:
         wexp = jnp.zeros((1, 1, 1), x.dtype)
         bexp = jnp.zeros((1, 1), x.dtype)
     wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(9, cmid, 1)
-    wproj = jnp.transpose(w_proj, (0, 1, 3, 2)).reshape(1, c_out, cmid)
+    wproj = jnp.transpose(w_proj, (0, 1, 3, 2)).reshape(1, c_out, cmid).astype(x.dtype)
 
-    def qspec(q, fn):
-        return pl.BlockSpec((1, 1, c, tile_p),
-                            lambda bi, i, q=q, fn=fn: (bi, q, 0, fn(i)),
+    halo_rows = _halo_rows(rows, w2, 2)
+    ratio = rows // halo_rows
+
+    def qspec(pi, blk, fn):
+        return pl.BlockSpec((1, 1, c, blk),
+                            lambda bi, i, pi=pi, fn=fn: (bi, pi, 0, fn(i)),
                             memory_space=pltpu.VMEM)
-    x_specs = []
-    for q in range(4):
-        x_specs.append(qspec(q, lambda i: jnp.maximum(i - 1, 0)))
-        x_specs.append(qspec(q, lambda i: i))
+    x_specs, x_ops = [], []
+    for arr, pi in q_arrays:
+        # thin halo view: the only non-center taps are si=-1/sj=-1, so
+        # halo_rows rows of the previous tile suffice (clamped + masked
+        # at the top boundary)
+        x_specs.append(qspec(pi, halo_rows * w2,
+                             lambda i: jnp.maximum(i * ratio - 1, 0)))
+        x_specs.append(qspec(pi, tile_p, lambda i: i))
+        x_ops.extend([arr, arr])
     out = pl.pallas_call(
         functools.partial(_invres_s2_kernel, h2=h2, w2=w2, tile_p=tile_p,
+                          halo_px=halo_rows * w2,
                           expand=expand, center_valid=hp2 == h2),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp2 * w2), x.dtype),
         grid=(b, n_tiles),
@@ -701,5 +898,5 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(wexp, bexp, wdw, b_dw.reshape(cmid, 1), wproj,
-      b_proj.reshape(c_out, 1), *[xq] * 8)
+      b_proj.reshape(c_out, 1), *x_ops)
     return out.reshape(b, c_out, hp2, w2)[:, :, :h2]

@@ -69,21 +69,24 @@ def _banded(a: np.ndarray, n_tiles: int, tile: int, band: int,
     return bands, starts
 
 
-def _kernel(starts_ref, ah_ref, awt_ref, x_ref, out_ref, val_ref, idx_ref,
-            *, num_classes: int, n_w: int, band_w: int, wc_starts):
+def _kernel(starts_ref, ah_ref, awt_ref, *refs, num_classes: int,
+            n_w: int, band_w: int, wc_starts):
     """Grid step = (batch b, output row-tile i, class k).
 
     starts_ref: [n_h] int32 row-window starts (scalar prefetch)
     ah_ref    : [1, TILE_H, band_h] H-interp band for tile i (f32)
     awt_ref   : [n_w, band_w, 128] W-interp bands, transposed (f32)
-    x_ref     : [1, 1, h, w] the full class-k logit plane (w-major, so
-                the whole quarter-res plane is < 0.3 MB; rows are
-                window-sliced in-kernel — arbitrary starts are not
-                expressible as BlockSpec block indices)
-    out_ref   : [1, TILE_H, W] uint8 mask tile
+    refs      : band_h/16 input-row views, each a [1, 1, 16, w] block at
+                16-row index starts[i]//16 + j (the round-2 kernel read
+                the FULL class plane per (tile, class) step — n_h-fold
+                redundant DMA, ~316 MB per batch-8 1024x2048 dispatch;
+                banding the BlockSpec cuts it to the needed window),
+                then out_ref
     val/idx   : VMEM scratch [TILE_H, W] carrying the running argmax
                 across the (sequential, innermost) class dimension
     """
+    out_ref, val_ref, idx_ref = refs[-3], refs[-2], refs[-1]
+    views = refs[:-3]
     i = pl.program_id(1)
     k = pl.program_id(2)
 
@@ -92,11 +95,10 @@ def _kernel(starts_ref, ah_ref, awt_ref, x_ref, out_ref, val_ref, idx_ref,
         val_ref[:] = jnp.full_like(val_ref, -jnp.inf)
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    band_h = ah_ref.shape[2]
-    # _banded(align=16) guarantees 16-aligned starts; Mosaic needs the
-    # hint to prove the sublane slice offset is tile-aligned
-    s = pl.multiple_of(starts_ref[i], 16)
-    xk = x_ref[0, 0, pl.ds(s, band_h), :].astype(jnp.float32)
+    # views are 16-row blocks starting at starts[i] (16-aligned by
+    # _banded(align=16)); sublane-concat re-assembles the band window
+    xk = jnp.concatenate([v[0, 0] for v in views],
+                         axis=0).astype(jnp.float32)
     t1 = jnp.dot(ah_ref[0], xk, preferred_element_type=jnp.float32)
     cols = []
     for wj in range(n_w):                                  # static unroll
@@ -168,6 +170,17 @@ def upsample_argmax(logits, out_hw, *, crop_hw=None,
     if h16 != h:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, h16 - h), (0, 0)))
 
+    # banded input views: band_h/16 16-row blocks per (tile, class)
+    # step instead of the whole plane (start is 16-aligned, so the
+    # block index is exactly starts[i] // 16 + j)
+    n_views = band_h // 16
+
+    def x_view(j):
+        return pl.BlockSpec(
+            (1, 1, 16, w),
+            lambda bi, i, kk, s, j=j: (bi, kk, s[i] // 16 + j, 0),
+            memory_space=pltpu.VMEM)
+
     grid = (b, n_h, k)
     out = pl.pallas_call(
         functools.partial(_kernel, num_classes=k, n_w=n_w, band_w=band_w,
@@ -183,9 +196,7 @@ def upsample_argmax(logits, out_hw, *, crop_hw=None,
                 pl.BlockSpec((n_w, band_w, 128),
                              lambda bi, i, kk, s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, h16, w),
-                             lambda bi, i, kk, s: (bi, kk, 0, 0),
-                             memory_space=pltpu.VMEM),
+                *[x_view(j) for j in range(n_views)],
             ],
             out_specs=pl.BlockSpec((1, tile_h, w_pad),
                                    lambda bi, i, kk, s: (bi, i, 0),
@@ -194,6 +205,7 @@ def upsample_argmax(logits, out_hw, *, crop_hw=None,
                             pltpu.VMEM((tile_h, w_pad), jnp.int32)],
         ),
         interpret=interpret,
-    )(jnp.asarray(h_starts), jnp.asarray(ah), jnp.asarray(awt), x)
+    )(jnp.asarray(h_starts), jnp.asarray(ah), jnp.asarray(awt),
+      *[x] * n_views)
     out = out[:, :h_out, :w_out]
     return out[0] if squeeze else out

@@ -28,17 +28,32 @@ def _fold(p, s):
     return fold_bn(p["w"], p["scale"], p["bias"], s["mean"], s["var"])
 
 
-def _resize_chw(x, out_hw, align_corners=True):
+def _resize_chw(x, out_hw, align_corners=True, acc=None, interpret=False):
+    """Bilinear resize in CHW; routes through the flat-layout Pallas
+    kernel (kernels.resize_chw) when eligible — the einsum form forces
+    a (h-sublane, w-lane) relayout of the flat tensors the chw_ops
+    kernels exchange (~1.4 ms/b8-dispatch of pure copies at 1024x2048).
+    acc: optional [B, C, OH, OW] added in-kernel (pair-add fusion)."""
     h, w = x.shape[-2], x.shape[-1]
     oh, ow = int(out_hw[0]), int(out_hw[1])
     if (h, w) == (oh, ow):
-        return x
+        return x if acc is None else x + acc
+    # the kernel pays off when the relayout it avoids is large; small
+    # resizes run faster as einsums (traced: a 32x64 -> 64x128 kernel
+    # cost 0.58 ms/b8 from tiny f32 dots vs ~0.05 as einsum)
+    if (oh * ow >= 65536 and oh >= h and ow >= w and ow % 128 == 0
+            and x.shape[1] % 8 == 0):
+        from segtpu.kernels.resize_chw import resize_chw_pallas
+        return resize_chw_pallas(x, (oh, ow), acc,
+                                 align_corners=align_corners,
+                                 interpret=interpret)
     ah = jnp.asarray(_interp_matrix(h, oh, align_corners))
     aw = jnp.asarray(_interp_matrix(w, ow, align_corners))
     y = x.astype(jnp.float32)
     y = jnp.einsum("oh,bchw->bcow", ah, y)
     y = jnp.einsum("pw,bcow->bcop", aw, y)
-    return y.astype(x.dtype)
+    y = y.astype(x.dtype)
+    return y if acc is None else y + acc
 
 
 class _Op:
@@ -140,8 +155,17 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
             y2 = pw(pool[j], *blk["agg2"])
             hw = (max(y1.shape[2], y2.shape[2]),
                   max(y1.shape[3], y2.shape[3]))
-            y = (_resize_chw(y1, hw, align_corners)
-                 + _resize_chw(y2, hw, align_corners))
+            # pair add fused into a resize kernel's epilogue; resize the
+            # branch that NEEDS resizing last so the identity branch
+            # rides in as its acc (an explicit XLA add of two
+            # differently-laid-out tensors traced at 0.46 ms/b8)
+            if y2.shape[2:] == hw and y1.shape[2:] != hw:
+                y1, y2 = y2, y1
+            y = _resize_chw(
+                y2, hw, align_corners,
+                acc=_resize_chw(y1, hw, align_corners,
+                                interpret=interpret),
+                interpret=interpret)
             outs = [y, blk["node0"](y)]
             for (opa, opb), (p1, p2, _, _) in zip(blk["nodes"],
                                                   cell_config[1:]):
@@ -154,7 +178,8 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
         hw = (max(pool[i].shape[2] for i in collect),
               max(pool[i].shape[3] for i in collect))
         feats = jnp.concatenate(
-            [_resize_chw(pool[i], hw, align_corners) for i in collect],
+            [_resize_chw(pool[i], hw, align_corners, interpret=interpret)
+             for i in collect],
             axis=1)
         return pw(feats, clf_w, clf_b, relu=False)
 
@@ -201,18 +226,23 @@ def build_fast_template_decoder(genotype, params, stats, *,
             hw = (max(x1.shape[2], x2.shape[2]),
                   max(x1.shape[3], x2.shape[3]))
             if blk["agg"] == "psum":
-                y = (_resize_chw(pw(x1, *blk["b1"]), hw, align_corners)
-                     + _resize_chw(pw(x2, *blk["b2"]), hw, align_corners))
+                y = _resize_chw(
+                    pw(x2, *blk["b2"]), hw, align_corners,
+                    acc=_resize_chw(pw(x1, *blk["b1"]), hw, align_corners,
+                                    interpret=interpret),
+                    interpret=interpret)
             else:
                 y = jnp.concatenate(
-                    [_resize_chw(x1, hw, align_corners),
-                     _resize_chw(x2, hw, align_corners)], axis=1)
+                    [_resize_chw(x1, hw, align_corners, interpret=interpret),
+                     _resize_chw(x2, hw, align_corners, interpret=interpret)],
+                    axis=1)
                 y = pw(y, *blk["reduce"])
             pool.append(blk["op"](y))
         hw = (max(pool[i].shape[2] for i in collect),
               max(pool[i].shape[3] for i in collect))
         feats = jnp.concatenate(
-            [_resize_chw(pool[i], hw, align_corners) for i in collect],
+            [_resize_chw(pool[i], hw, align_corners, interpret=interpret)
+             for i in collect],
             axis=1)
         return pw(feats, clf_w, clf_b, relu=False)
 

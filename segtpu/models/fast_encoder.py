@@ -119,26 +119,45 @@ def mbv2_chw_apply(params, stats, x12, *, interpret: bool = False
     w2 = stem_s2d_kernel(wf)   # 2x2/s1 over the s2d grid, pad (1,0)(1,0)
     y = conv_chw(x12, w2, bf, k=2, relu="relu6", interpret=interpret)
 
-    taps = []
-    bi = 0
-    cin = 32
+    # flatten the (stage, i) loop to know each block's successor: a
+    # stride-1 block whose output feeds a stride-2 block AND is not a
+    # decoder tap emits row-parity planes straight from its kernel
+    # (inv_res_chw row_split) — the following inv_res_s2_chw then skips
+    # the strided row gather of the quadrant split
+    flat = []
     for stage, (t, c, n, s) in enumerate(_MBV2_CFG):
         for i in range(n):
-            stride = s if i == 0 else 1
-            residual = stride == 1 and cin == c
-            p, st = params["blocks"][bi], stats["blocks"][bi]
-            we, be = (_fold(p["expand"], st["expand"])
-                      if "expand" in p else (None, None))
-            wd, bd = _fold(p["dw"], st["dw"])
-            wp, bp = _fold(p["project"], st["project"])
-            if stride == 1:
-                y = inv_res_chw(y, we, be, wd, bd, wp, bp,
-                                residual=residual, interpret=interpret)
+            flat.append((stage, s if i == 0 else 1, c,
+                         stage in _TAP_STAGES and i == n - 1))
+    taps = []
+    cin = 32
+    for bi, (stage, stride, c, is_tap) in enumerate(flat):
+        residual = stride == 1 and cin == c
+        p, st = params["blocks"][bi], stats["blocks"][bi]
+        we, be = (_fold(p["expand"], st["expand"])
+                  if "expand" in p else (None, None))
+        wd, bd = _fold(p["dw"], st["dw"])
+        wp, bp = _fold(p["project"], st["project"])
+        if stride == 1:
+            next_s2 = bi + 1 < len(flat) and flat[bi + 1][1] == 2
+            split = next_s2 and y.shape[-2] % 2 == 0
+            if split and is_tap:
+                # tap AND stride-2 feed: one kernel, two outputs (the
+                # extra sequential write beats a read + strided gather)
+                y, tap = inv_res_chw(y, we, be, wd, bd, wp, bp,
+                                     residual=residual, row_split="dual",
+                                     interpret=interpret)
+                taps.append(tap)
             else:
-                y = inv_res_s2_chw(y, we, be, wd, bd, wp, bp,
-                                   interpret=interpret)
-            cin = c
-            bi += 1
-        if stage in _TAP_STAGES:
-            taps.append(y)
+                y = inv_res_chw(y, we, be, wd, bd, wp, bp,
+                                residual=residual, row_split=split,
+                                interpret=interpret)
+                if is_tap:
+                    taps.append(y)
+        else:
+            y = inv_res_s2_chw(y, we, be, wd, bd, wp, bp,
+                               interpret=interpret)
+            if is_tap:
+                taps.append(y)
+        cin = c
     return taps

@@ -83,3 +83,19 @@ def test_conv_chw_rectangular_cout():
                    k=1, interpret=True)
     np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 2, 3, 1)),
                                want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_chw_im2col_branch_matches_nhwc():
+    """Small-C dense conv at w%128==0 routes through the dx-grouped
+    im2col single-dot path — must match the NHWC reference exactly."""
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 12, 128, 3).astype(np.float32).transpose(0, 3, 2, 1)
+    x = np.ascontiguousarray(rng.randn(2, 24, 128, 12).astype(np.float32))
+    p, s = _rand_cb(jax.random.PRNGKey(21), 3, 12, 32)
+    want = _nhwc_ref(p, s, jnp.asarray(x), k=3, dilation=1, groups=1)
+    from segtpu.kernels.chw_ops import fold_bn
+    wf, bf = fold_bn(p["w"], p["scale"], p["bias"], s["mean"], s["var"])
+    x_chw = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+    got = conv_chw(x_chw, wf, bf, k=3, dilation=1, interpret=True)
+    got = np.transpose(np.asarray(got), (0, 2, 3, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

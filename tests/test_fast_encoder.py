@@ -146,3 +146,48 @@ def test_inv_res_s2_perm_split_path():
     got = inv_res_s2_chw(x_chw, we, be, wd, bd, wp, bp, interpret=True)
     got = np.transpose(np.asarray(got), (0, 2, 3, 1))
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("w,perm", [(40, False), (128, True)])
+def test_inv_res_row_split_feeds_s2(w, perm):
+    """inv_res_chw(row_split=True) -> [B,2,C,H/2,W] row-parity planes
+    must (a) interleave back to the plain output exactly and (b) feed
+    inv_res_s2_chw's pre-split path with identical results to the 4-D
+    path — for both the generic (w%128!=0) and permutation-matmul
+    (w%128==0) column splits."""
+    from segtpu.kernels.chw_ops import inv_res_s2_chw
+    from segtpu.models.encoders import _inv_res_init
+    key = jax.random.PRNGKey(11)
+    p1, s1 = _inv_res_init(key, 16, 16, 1, jnp.float32)
+    s1 = _rand_stats(s1, seed=12)
+    p2, s2 = _inv_res_init(jax.random.PRNGKey(13), 16, 24, 6, jnp.float32)
+    s2 = _rand_stats(s2, seed=14)
+    rng = np.random.RandomState(15)
+    x = jnp.asarray(rng.randn(2, 16, 16, w).astype(np.float32))
+
+    def fold3(p, s):
+        we, be = (fold_bn(p["expand"]["w"], p["expand"]["scale"],
+                          p["expand"]["bias"], s["expand"]["mean"],
+                          s["expand"]["var"]) if "expand" in p
+                  else (None, None))
+        wd, bd = fold_bn(p["dw"]["w"], p["dw"]["scale"], p["dw"]["bias"],
+                         s["dw"]["mean"], s["dw"]["var"])
+        wp, bp = fold_bn(p["project"]["w"], p["project"]["scale"],
+                         p["project"]["bias"], s["project"]["mean"],
+                         s["project"]["var"])
+        return we, be, wd, bd, wp, bp
+
+    f1, f2 = fold3(p1, s1), fold3(p2, s2)
+    plain = inv_res_chw(x, *f1, residual=True, interpret=True)
+    pair = inv_res_chw(x, *f1, residual=True, row_split=True,
+                       interpret=True)
+    assert pair.shape == (2, 2, 16, 8, w)
+    # (a) interleave-back parity
+    inter = jnp.stack([pair[:, 0], pair[:, 1]], axis=3).reshape(plain.shape)
+    np.testing.assert_allclose(np.asarray(inter), np.asarray(plain),
+                               rtol=1e-5, atol=1e-6)
+    # (b) s2 block: pre-split input == 4-D input
+    want = inv_res_s2_chw(plain, *f2, interpret=True)
+    got = inv_res_s2_chw(pair, *f2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
