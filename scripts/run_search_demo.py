@@ -78,12 +78,54 @@ def main():
         train_list=os.path.join(data_root, "train.lst"),
         val_list=os.path.join(data_root, "val.lst"),
         num_classes=NUM_CLASSES, crop_size=(64, 64),
-        batch_size=(8, 8), num_epochs=(6, 0),
+        batch_size=(8, 8), num_epochs=(12, 0),
         num_iters=rounds, seed=0,
         snapshot_dir=outdir)
 
+    # Stage 0: pre-train the BACKBONE on the task (the reference searches
+    # on an ImageNet-pretrained MobileNet-v2; with a random encoder the
+    # cached taps are random projections, proxy rewards collapse into a
+    # ~0.05-0.15 noise band, and the first 25-round attempt's curve was
+    # FLAT). Train arch0 end-to-end briefly, keep its encoder frozen.
+    from segtpu.data.datasets import SegmentationDataset, BatchLoader
+    from segtpu.models import ARCHS
+    from segtpu.train import TrainConfig, run_training
+    ds = SegmentationDataset(data_root, cfg.train_list)
+    val_ds = SegmentationDataset(data_root, cfg.val_list)
+    tl = BatchLoader(ds, batch_size=8, crop=(64, 64), train=True, seed=0)
+    vl = BatchLoader(val_ds, batch_size=8, crop=(64, 64), train=False)
+    # 120 epochs = ~360 SGD steps: 16 epochs left the encoder at 0.14
+    # val mIoU (barely above the ~0.1 per-class chance floor) and the
+    # proxy rewards in a noise band; the task needs ~0.6+ features for
+    # decoder quality to separate architectures
+    tcfg = TrainConfig(num_classes=NUM_CLASSES, crop_size=(64, 64),
+                       batch_size=8, num_epochs=120, val_every=24,
+                       enc_lr=0.01, dec_lr=0.03,
+                       snapshot_dir=os.path.join(outdir, "pretrain"))
+    pre_ckpt = os.path.join(tcfg.snapshot_dir, "best_params.npz")
+    if os.path.exists(pre_ckpt):
+        import jax
+        from segtpu.models.segmenter import segmenter_init
+        from segtpu.utils.saver import load_pytree_like
+        tp, ts = segmenter_init(jax.random.PRNGKey(0), ARCHS["arch0"],
+                                num_classes=NUM_CLASSES, aux=True)
+        blob = load_pytree_like(pre_ckpt, {"params": tp, "stats": ts})
+        enc_params = blob["params"]["encoder"]
+        enc_stats = blob["stats"]["encoder"]
+        pre_best = -1.0   # recorded by the run that wrote the ckpt
+        print(f"# reusing pre-trained encoder from {pre_ckpt}")
+    else:
+        t0 = time.time()
+        pre_best, pre_state = run_training(ARCHS["arch0"], tl, vl, tcfg)
+        print(f"# encoder pre-train: val mIoU {pre_best:.4f} "
+              f"({time.time() - t0:.0f}s)")
+        enc_params = pre_state.params["encoder"]
+        enc_stats = pre_state.stats["encoder"]
+
     t0 = time.time()
-    saver = run_supernet_search(cfg, population=population)
+    saver = run_supernet_search(cfg, population=population,
+                                enc_params=enc_params,
+                                enc_stats=enc_stats)
     wall = time.time() - t0
 
     rows = {}
@@ -100,6 +142,7 @@ def main():
     best = saver.best(1)[0]
     out = {"population": population, "rounds": rounds,
            "wall_clock_s": round(wall, 1),
+           "pretrain_miou": round(float(pre_best), 4),
            "per_round": summary,
            "best": {"reward": best["reward"],
                     "genotype": best["genotype"]}}
