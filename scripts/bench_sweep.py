@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--hw", default="1024x2048")
+    # the dev relay has a ~24 ms per-dispatch sync floor (see bench.py);
+    # scan>=24 amortizes it so sub-ms kernels resolve
+    ap.add_argument("--scan", type=int, default=24)
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split("x"))
 
@@ -52,7 +55,7 @@ def main():
             def body(chk, _):
                 m = infer(params, stats, x + (chk % 2).astype(jnp.uint8))
                 return chk + jnp.sum(m.astype(jnp.int32)), None
-            return jax.lax.scan(body, jnp.int32(0), None, length=4)[0]
+            return jax.lax.scan(body, jnp.int32(0), None, length=args.scan)[0]
 
         t0 = time.time()
         _ = float(step(params, stats, frames))
@@ -60,7 +63,7 @@ def main():
         t0 = time.time()
         for _ in range(args.reps):
             _ = float(step(params, stats, frames))
-        ips = args.batch * 4 * args.reps / (time.time() - t0)
+        ips = args.batch * args.scan * args.reps / (time.time() - t0)
         rec = {"arch": arch, "params_m": round(count_params(params) / 1e6, 3),
                "shape": f"{h}x{w}", "images_per_sec_per_chip": round(ips, 2),
                "compile_s": round(compile_s, 1)}

@@ -279,6 +279,76 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
     return infer
 
 
+def build_sharded_pallas_infer(genotype, *, num_classes: int,
+                               input_hw: Tuple[int, int], n_shards: int,
+                               axis_name: str = "space",
+                               align_corners: bool = True,
+                               compute_dtype=jnp.bfloat16,
+                               pallas_interpret: bool = False):
+    """Spatially-sharded (H over mesh axis ``axis_name``) variant of the
+    full-CHW Pallas fast path, for use inside ``shard_map`` (wired up by
+    parallel.mesh.make_sharded_infer_fn(mode='space', use_pallas=True)).
+
+    Pallas custom calls are opaque to XLA's SPMD partitioner, so the
+    sharding is explicit manual SPMD (SURVEY.md §5.7):
+      * front + encoder run shard-local with overlap-discard halo
+        exchange per block (fast_encoder._halo_exchange — one ppermute
+        of 1-2 boundary rows per block, bit-exact vs unsharded);
+      * the four taps (small: <=8 MB bf16 total at 1024x2048) are
+        all-gathered so the decoder — which may contain GLOBAL ops
+        (global_average_pool cells) — computes replicated and exact;
+      * the upsample+argmax tail computes the full grid from the
+        replicated stride-4 logits and keeps its own H slice (the tail
+        is ~4% of the single-chip dispatch; a per-shard banded interp
+        matrix would need shard-static row phases, noted future work).
+
+    Returns ``infer_local(params, stats, img_local)`` mapping the local
+    uint8 [N, H/n, W, 3] slice -> local uint8 [N, H/n, W] mask slice.
+    """
+    h, w = int(input_hw[0]), int(input_hw[1])
+    hp, wp = pad_to_stride((h, w))
+    if (hp, wp) != (h, w):
+        raise ValueError(
+            f"sharded pallas inference needs stride-{STRIDE}-multiple "
+            f"shapes, got {h}x{w} (pad on host or use mode='data')")
+    if h % (2 * n_shards):
+        raise ValueError(f"H={h} must divide 2*n_shards={2 * n_shards}")
+    if (h // n_shards) % 2 or w % 2:
+        raise ValueError("sharded s2d front needs even local H and W")
+
+    from segtpu.kernels.upsample_argmax import upsample_argmax
+    from segtpu.models.families import infer_family
+    from segtpu.models.fast_decoder import (
+        build_fast_decoder, build_fast_template_decoder)
+    from segtpu.models.fast_encoder import mbv2_chw_apply
+
+    def infer_local(params, stats, img_local):
+        assert img_local.ndim == 4, "sharded inference takes [N,H/n,W,3]"
+        x12 = _normalize_s2d_chw(img_local, compute_dtype)
+        taps = mbv2_chw_apply(params["encoder"], stats["encoder"], x12,
+                              spatial_axis=axis_name,
+                              interpret=pallas_interpret)
+        taps = [jax.lax.all_gather(t, axis_name, axis=2, tiled=True)
+                for t in taps]
+        build = (build_fast_decoder
+                 if infer_family(genotype).name == "micro"
+                 else build_fast_template_decoder)
+        dec = build(genotype, params["decoder"], stats["decoder"],
+                    align_corners=align_corners, taps_channel_first=True,
+                    interpret=pallas_interpret)
+        logits_cf = dec(taps)
+        full = upsample_argmax(
+            logits_cf, (h, w), crop_hw=(h, w),
+            align_corners=align_corners, channel_first=True,
+            tile_h=32 if pallas_interpret else (512 if h >= 512 else 128),
+            interpret=pallas_interpret)
+        idx = jax.lax.axis_index(axis_name)
+        return jax.lax.dynamic_slice_in_dim(
+            full, idx * (h // n_shards), h // n_shards, axis=1)
+
+    return infer_local
+
+
 class Segmenter:
     """User-facing inference API (reference: engine/inference segmenter API).
 

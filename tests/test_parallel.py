@@ -128,6 +128,32 @@ def test_space_sharded_inference_matches_single_device(setup):
 
 
 @pytest.mark.slow
+def test_space_sharded_inference_pallas_path(setup):
+    """VERDICT r2 next#3: the PRODUCTION Pallas CHW engine space-sharded
+    (H over 'space') via manual-SPMD shard_map — per-block ppermute halo
+    exchange in the encoder (overlap-discard), taps all-gathered for the
+    (possibly global — GAP cells) decoder, per-shard tail slices. Masks
+    must be bit-equal to the single-device Pallas program: the halo rows
+    are the exact neighbour values the unsharded conv reads, and mesh-end
+    ppermute zeros are exactly its SAME-padding zeros."""
+    from segtpu.engine.inference import build_infer_fn
+    from segtpu.parallel.mesh import make_sharded_pallas_infer_fn
+    genotype, state, _ = setup
+    infer = build_infer_fn(genotype, num_classes=5, input_hw=(64, 64),
+                           use_pallas=True, pallas_interpret=True)
+    mesh = make_mesh(1, 2)
+    sharded = make_sharded_pallas_infer_fn(
+        genotype, mesh, num_classes=5, input_hw=(64, 64),
+        pallas_interpret=True)
+    rng = np.random.RandomState(6)
+    imgs = jnp.asarray(rng.randint(0, 256, (1, 64, 64, 3), dtype=np.uint8))
+    want = np.asarray(jax.jit(infer)(state.params, state.stats, imgs))
+    got = np.asarray(sharded(state.params, state.stats, imgs))
+    assert got.shape == (1, 64, 64) and got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
 def test_data_sharded_inference_pallas_path(setup):
     """VERDICT r2 next#3: the PRODUCTION (Pallas CHW) inference program
     sharded over the mesh in data mode. shard_map is manual SPMD — each
