@@ -125,49 +125,88 @@ def _normalize_s2d(img_u8, compute_dtype):
         compute_dtype)
 
 
-def _normalize_s2d_chw(img_u8, compute_dtype):
-    """uint8 [N,H,W,3] -> normalized CHW s2d planes [N,12,H/2,W/2] for
-    the full-CHW Pallas encoder (models.fast_encoder.mbv2_chw_apply).
-    Per-channel permutation matmuls write each channel plane directly in
-    its final flat-pixel layout — no NHWC tensor (and no 12->128 lane
-    padding) ever exists. Same arithmetic as _normalize_s2d. (The
-    K=768-single-dot + plane-major-columns + transpose variant was
-    tried in round 3 and REGRESSED — the 5-D u8 reshape drew
-    pathological XLA layouts, 9.4 ms of front vs 1.9 for this form.)"""
-    n, h, w, _ = img_u8.shape
+def _normalize_s2d_chw(img_u8, compute_dtype, hw: Optional[Tuple[int, int]]
+                       = None):
+    """uint8 [N,H,W,3] (or row-flat [N,H,W*3] with ``hw`` given) ->
+    normalized CHW s2d planes [N,12,H/2,W/2] for the full-CHW Pallas
+    encoder (models.fast_encoder.mbv2_chw_apply). Per-channel
+    permutation matmuls write each channel plane directly in its final
+    flat-pixel layout — no NHWC tensor (and no 12->128 lane padding)
+    ever exists. Same arithmetic as _normalize_s2d.
+
+    Round-3 form (w % 256 == 0): the jitted program takes the ROW-FLAT
+    [N,H,W*3] image — XLA assigned the 4-D parameter a pathological
+    layout and spent ~0.43 ms/b8-dispatch re-laying it out — and each
+    channel uses ONE [768,128]-block permutation per row parity (a
+    channel's sources live entirely in even OR odd full-res rows, so
+    half of the former per-channel einsum pairs multiplied by
+    identically-zero matrices; and the [.., k, 128] einsum output is an
+    exact (8,128)-tile shape, where the former 64-lane chunks tiled
+    half-padded). (The K=768-single-dot + plane-major-columns +
+    transpose variant was tried in round 3 and REGRESSED — the 5-D u8
+    reshape drew pathological XLA layouts, 9.4 ms of front vs 1.9 for
+    this form.)"""
+    if img_u8.ndim == 4:
+        n, h, w, _ = img_u8.shape
+        imgf = img_u8.reshape(n, h, w * 3)
+    else:
+        n, h, _ = img_u8.shape
+        w = int(hw[1])
+        imgf = img_u8
     mean12 = np.tile(np.asarray(IMG_MEAN, np.float32), 4)
     std12 = np.tile(np.asarray(IMG_STD, np.float32), 4)
-    if w % 128 == 0:
-        xb = img_u8.reshape(n, h, (w * 3) // 384, 384)
+    scale = IMG_SCALE / std12
+    fold_bf16 = compute_dtype == jnp.bfloat16
+    p0, p1 = _s2d_perm_mats()
+    if w % 256 == 0:
+        xb = imgf.reshape(n, h, (w * 3) // 768, 768)
         xe = xb[:, 0::2].astype(jnp.bfloat16)
         xo = xb[:, 1::2].astype(jnp.bfloat16)
-        p0, p1 = _s2d_perm_mats()
-        scale = IMG_SCALE / std12
-        fold_bf16 = compute_dtype == jnp.bfloat16
         planes = []
         for c in range(12):
-            cols = np.arange(64) * 12 + c
+            # channel c = (row parity dy = c//6, px parity + rgb = c%6):
+            # sources are entirely in rows of ONE parity
+            src = xe if c < 6 else xo
+            pc = (p0 if c < 6 else p1)[:, np.arange(64) * 12 + c]  # [384,64]
+            p2 = np.zeros((768, 128), np.float32)
+            p2[:384, :64] = pc
+            p2[384:, 64:] = pc
             if fold_bf16:
                 # production path: fold scale/bias into the permutation
                 # (<= ~1 ulp of the bf16 result, as in _normalize_s2d)
-                p0c = jnp.asarray(p0[:, cols] * scale[c], jnp.bfloat16)
-                p1c = jnp.asarray(p1[:, cols] * scale[c], jnp.bfloat16)
+                p2m = jnp.asarray(p2 * scale[c], jnp.bfloat16)
                 bias = jnp.asarray(-mean12[c] / std12[c], jnp.bfloat16)
-                yc = (jnp.einsum("nhkp,pq->nhkq", xe, p0c)
-                      + jnp.einsum("nhkp,pq->nhkq", xo, p1c) + bias)
+                yc = jnp.einsum("nhkp,pq->nhkq", src, p2m) + bias
             else:
-                # exact path: 0/1 bf16 permutation (exact on uint8),
-                # scale/bias applied in f32
-                p0c = jnp.asarray(p0[:, cols], jnp.bfloat16)
-                p1c = jnp.asarray(p1[:, cols], jnp.bfloat16)
-                yc = (jnp.einsum("nhkp,pq->nhkq", xe, p0c)
-                      + jnp.einsum("nhkp,pq->nhkq", xo, p1c))
+                yc = jnp.einsum("nhkp,pq->nhkq", src,
+                                jnp.asarray(p2, jnp.bfloat16))
+                yc = (yc.astype(jnp.float32) * np.float32(IMG_SCALE)
+                      - np.float32(mean12[c])) / np.float32(std12[c])
+            planes.append(yc.reshape(n, h // 2, w // 2))
+        return jnp.stack(planes, axis=1).astype(compute_dtype)
+    img4 = imgf.reshape(n, h, w, 3)
+    if w % 128 == 0:
+        xb = img4.reshape(n, h, (w * 3) // 384, 384)
+        xe = xb[:, 0::2].astype(jnp.bfloat16)
+        xo = xb[:, 1::2].astype(jnp.bfloat16)
+        planes = []
+        for c in range(12):
+            cols = np.arange(64) * 12 + c
+            src = xe if c < 6 else xo
+            pc = (p0 if c < 6 else p1)[:, cols]
+            if fold_bf16:
+                pcm = jnp.asarray(pc * scale[c], jnp.bfloat16)
+                bias = jnp.asarray(-mean12[c] / std12[c], jnp.bfloat16)
+                yc = jnp.einsum("nhkp,pq->nhkq", src, pcm) + bias
+            else:
+                yc = jnp.einsum("nhkp,pq->nhkq", src,
+                                jnp.asarray(pc, jnp.bfloat16))
                 yc = (yc.astype(jnp.float32) * np.float32(IMG_SCALE)
                       - np.float32(mean12[c])) / np.float32(std12[c])
             planes.append(yc.reshape(n, h // 2, w // 2))
         return jnp.stack(planes, axis=1).astype(compute_dtype)
     from segtpu.models.encoders import space_to_depth
-    y = space_to_depth(img_u8).astype(jnp.float32) * IMG_SCALE
+    y = space_to_depth(img4).astype(jnp.float32) * IMG_SCALE
     y = (y - jnp.asarray(mean12)) / jnp.asarray(std12)
     return jnp.transpose(y, (0, 3, 1, 2)).astype(compute_dtype)
 
@@ -208,7 +247,17 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
         return x, "nhwc3"
 
     def infer(params, stats, img_u8):
-        img = img_u8 if img_u8.ndim == 4 else img_u8[None]
+        # img_u8 is [N,H,W,3] / [H,W,3], or ROW-FLAT [N,H,W*3] /
+        # [H,W*3] (last dim != 3): the flat form is the production fast
+        # path — XLA gives the 4-D uint8 parameter a pathological layout
+        # and re-lays it out on device (~0.43 ms/b8-dispatch at
+        # 1024x2048); the flat parameter keeps its natural row-major
+        # layout and every consumer view of it is free. Only one of the
+        # two views below is consumed per path; XLA DCEs the other.
+        flat = img_u8.shape[-1] != 3
+        nd_batched = 3 if flat else 4
+        imgb = img_u8 if img_u8.ndim == nd_batched else img_u8[None]
+        img = imgb.reshape(imgb.shape[0], h, w, 3) if flat else imgb
         if use_pallas and not return_logits:
             # Fast path: full-CHW Pallas pipeline. Round 1 kept the XLA
             # NHWC encoder (the then-kernels lost); with the round-2
@@ -222,7 +271,8 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
             from segtpu.models.fast_decoder import (
                 build_fast_decoder, build_fast_template_decoder)
             if use_s2d:
-                x12 = _normalize_s2d_chw(img, compute_dtype)
+                x12 = _normalize_s2d_chw(imgb if flat else img,
+                                         compute_dtype, hw=(h, w))
                 x12 = jnp.pad(x12, ((0, 0), (0, 0), (0, (hp - h) // 2),
                                     (0, (wp - w) // 2)))
                 from segtpu.models.fast_encoder import mbv2_chw_apply
@@ -252,7 +302,7 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
                 tile_h=32 if pallas_interpret else
                 (512 if h >= 512 else 128),
                 interpret=pallas_interpret)
-            return out if img_u8.ndim == 4 else out[0]
+            return out if img_u8.ndim == nd_batched else out[0]
         x, fmt = _prep_nhwc(img)
         logits, _, _ = segmenter_apply(genotype, params, stats, x,
                                        train=False,
@@ -274,7 +324,7 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
                                      align_corners=align_corners,
                                      compute_dtype=jnp.float32)
             out = jnp.argmax(logits[:, :h, :w, :], axis=-1).astype(jnp.uint8)
-        return out if img_u8.ndim == 4 else out[0]
+        return out if img_u8.ndim == nd_batched else out[0]
 
     return infer
 
@@ -394,8 +444,12 @@ class Segmenter:
         img_u8 = np.ascontiguousarray(img_u8, dtype=np.uint8)
         hw = img_u8.shape[-3:-1]
         fn = self._compiled((int(hw[0]), int(hw[1])), return_logits)
+        # ship the ROW-FLAT [.., H, W*3] view (a free numpy reshape):
+        # the 4-D uint8 parameter draws a pathological XLA layout and a
+        # device-side relayout copy (see build_infer_fn)
+        flat = img_u8.reshape(img_u8.shape[:-2] + (-1,))
         out = fn(self._params, self._stats,
-                 jax.device_put(img_u8, self._device))
+                 jax.device_put(flat, self._device))
         return np.asarray(out)
 
     predict_batch = predict
@@ -404,21 +458,24 @@ class Segmenter:
         """Streaming inference with transfer/compute overlap: while the
         TPU runs frame i, frame i+1 is already being H2D-copied (the
         reference has no equivalent — it syncs per frame)."""
+        def _stage(im):
+            im = np.ascontiguousarray(im, np.uint8)
+            hw = im.shape[-3:-1]
+            return (jax.device_put(im.reshape(im.shape[:-2] + (-1,)),
+                                   self._device), hw)
+
         it = iter(images)
         try:
-            nxt = jax.device_put(
-                np.ascontiguousarray(next(it), np.uint8), self._device)
+            nxt = _stage(next(it))
         except StopIteration:
             return
         pending = None
         while nxt is not None:
-            cur = nxt
+            cur, hw = nxt
             try:
-                nxt = jax.device_put(
-                    np.ascontiguousarray(next(it), np.uint8), self._device)
+                nxt = _stage(next(it))
             except StopIteration:
                 nxt = None
-            hw = cur.shape[-3:-1]
             fn = self._compiled((int(hw[0]), int(hw[1])))
             out = fn(self._params, self._stats, cur)
             if pending is not None:

@@ -581,6 +581,11 @@ def _invres_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
         # the tile's rows 2i+ry (static lane slices + concat — free data
         # movement vs the 4-D strided sublane gather XLA does for the
         # stride-2 quadrant split, profiled ~2.4 ms/b8-dispatch total).
+        # The pair is PLANE-MAJOR [2, B, C, px]: the consumer slices
+        # planes on the leading dim, so its per-plane einsum operands
+        # are layout-free views (the [B, 2, ...] form made XLA reorder
+        # plane past batch — two ~0.4 ms full-tensor copies per b8
+        # dispatch at 512x1024x16).
         # "dual" additionally writes the plain output (for blocks whose
         # output is BOTH a decoder tap and a stride-2 input: one extra
         # sequential write instead of a read + strided gather).
@@ -592,7 +597,7 @@ def _invres_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
         y = y.astype(pair_ref.dtype)
         rows = tile_p // w
         for ry in (0, 1):
-            pair_ref[0, ry] = jnp.concatenate(
+            pair_ref[ry, 0] = jnp.concatenate(
                 [jax.lax.slice_in_dim(y, (2 * i + ry) * w,
                                       (2 * i + ry + 1) * w, axis=1)
                  for i in range(rows // 2)], axis=1)
@@ -608,12 +613,13 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     """Fused stride-1 inverted residual. x [B, C, H, W] -> [B, Cout, H, W].
     All weights HWIO with BN pre-folded; pass w_exp=None for t=1 blocks.
 
-    row_split: emit row-parity planes [B, 2, Cout, H/2, W] (plane ry =
-    rows 2i+ry) for a following stride-2 block (inv_res_s2_chw consumes
-    them directly) — the row half of the quadrant split happens in the
-    kernel's output write instead of a strided XLA gather. Requires H
-    even and an even divisor row-tile; falls back to the plain output +
-    XLA gather otherwise.
+    row_split: emit row-parity planes [2, B, Cout, H/2, W] (plane ry =
+    rows 2i+ry, PLANE-MAJOR so per-plane consumers slice the leading
+    dim layout-free) for a following stride-2 block (inv_res_s2_chw
+    consumes them directly) — the row half of the quadrant split happens
+    in the kernel's output write instead of a strided XLA gather.
+    Requires H even and an even divisor row-tile; falls back to the
+    plain output + XLA gather otherwise.
     """
     b, c, h, w = x.shape
     expand = w_exp is not None
@@ -631,7 +637,7 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         y = inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj,
                         residual=residual, interpret=interpret)
         pair = jnp.transpose(y.reshape(b, c_out, h // 2, 2, w),
-                             (0, 3, 1, 2, 4))
+                             (3, 0, 1, 2, 4))
         return (pair, y) if row_split == "dual" else pair
     xf, hp = _flatten(x, rows)
     tile_p = rows * w
@@ -644,9 +650,9 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         bexp = jnp.zeros((1, 1), x.dtype)
     wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(9, cmid, 1)
     wproj = jnp.transpose(w_proj, (0, 1, 3, 2)).reshape(1, c_out, cmid).astype(x.dtype)
-    pair_shape = jax.ShapeDtypeStruct((b, 2, c_out, (hp // 2) * w), x.dtype)
-    pair_spec = pl.BlockSpec((1, 2, c_out, (rows // 2) * w),
-                             lambda bi, i: (bi, 0, 0, i),
+    pair_shape = jax.ShapeDtypeStruct((2, b, c_out, (hp // 2) * w), x.dtype)
+    pair_spec = pl.BlockSpec((2, 1, c_out, (rows // 2) * w),
+                             lambda bi, i: (0, bi, 0, i),
                              memory_space=pltpu.VMEM)
     plain_shape = jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype)
     plain_spec = pl.BlockSpec((1, c_out, tile_p),
@@ -682,10 +688,10 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
       b_proj.reshape(c_out, 1), xf, xf, xf)
     if row_split == "dual":
         pair, plain = out
-        return (pair.reshape(b, 2, c_out, hp // 2, w)[:, :, :, :h // 2],
+        return (pair.reshape(2, b, c_out, hp // 2, w)[:, :, :, :h // 2],
                 plain.reshape(b, c_out, hp, w)[:, :, :h])
     if row_split:
-        return out.reshape(b, 2, c_out, hp // 2, w)[:, :, :, :h // 2]
+        return out.reshape(2, b, c_out, hp // 2, w)[:, :, :, :h // 2]
     return out.reshape(b, c_out, hp, w)[:, :, :h]
 
 
@@ -703,7 +709,8 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
 def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
                       bproj_ref, xm0, x00, xm1, x01, xm2, x02, xm3, x03,
                       out_ref, *, h2: int, w2: int, tile_p: int,
-                      halo_px: int, expand: bool, center_valid: bool):
+                      halo_px: int, expand: bool, center_valid: bool,
+                      q3d: bool = False):
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w2)
     wpad = w2 + 1
@@ -721,10 +728,11 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
         if not q_taps:
             continue
         xm, x0 = views[q]
+        xm_v = xm[0] if q3d else xm[0, 0]
+        x0_v = x0[0] if q3d else x0[0, 0]
         win = jnp.concatenate(
-            [jax.lax.slice_in_dim(xm[0, 0], halo_px - wpad, halo_px,
-                                  axis=1),
-             x0[0, 0]], axis=1)                      # [C, wpad + tile_p]
+            [jax.lax.slice_in_dim(xm_v, halo_px - wpad, halo_px, axis=1),
+             x0_v], axis=1)                          # [C, wpad + tile_p]
         if expand:
             # native-dtype operands: full-rate MXU (see _invres_kernel)
             mid = jax.lax.dot_general(
@@ -769,19 +777,17 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     x [B, C, H, W] (H, W even) -> [B, Cout, H/2, W/2]. All weights HWIO
     with BN pre-folded; w_exp=None for t=1 blocks.
 
-    x may also be PRE-ROW-SPLIT [B, 2, C, H/2, W] (plane ry = full-res
-    rows 2i+ry, the inv_res_chw(row_split=True) output): the row half of
-    the quadrant split — the expensive strided gather — is then already
-    done, and only the column deinterleave (cheap MXU permutation
-    matmuls) happens here."""
+    x may also be PRE-ROW-SPLIT [2, B, C, H/2, W] (PLANE-MAJOR: plane
+    ry = full-res rows 2i+ry, the inv_res_chw(row_split=True) output):
+    the row half of the quadrant split — the expensive strided gather —
+    is then already done, and only the column deinterleave (cheap MXU
+    permutation matmuls) happens here. Plane-major means x[ry] is a
+    leading-dim slice whose [B, C, H/2, W] view is layout-free (the
+    [B, 2, ...] form cost two full-tensor reorder copies per dispatch)."""
     if x.ndim == 5:
-        b, _, c, h2, w = x.shape
+        _, b, c, h2, w = x.shape
         h = 2 * h2
-        # NOTE: slicing the flat pair and reshaping per-plane straight
-        # to the einsum shape was tried and is WORSE (two 1.08 ms
-        # T(4,128) retiles vs 0.41 + 0.29 through the 5-D view) —
-        # keep the 5-D plane slices
-        row_planes = (x[:, 0], x[:, 1])        # each [B, C, H/2, W]
+        row_planes = (x[0], x[1])              # each [B, C, H/2, W]
     else:
         b, c, h, w = x.shape
         assert h % 2 == 0
@@ -792,15 +798,41 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     expand = w_exp is not None
     cmid = w_dw.shape[3]
     c_out = w_proj.shape[3]
-    if w % 128 == 0:
+    q_flat = None   # 4 FLAT [B, C, H2*W2] quadrant arrays (3-D specs)
+    if w % 256 == 0:
         # Quadrant split as row-phase block slices (lane-block aligned,
         # cheap) + column deinterleave as EXACT 0/1 permutation matmuls
-        # on 256-lane blocks (the MXU permutation trick) — A/B'd on v5e
-        # at 8x16x512x1024: 1.8 ms vs 6.3 (reshape+transpose) vs 13
-        # (strided slices). bf16 matmul of 0/1 matrices is exact.
-        # chunk = w (no k-split) keeps the einsum lhs in the dot-natural
-        # (M-minor, K) layout; cap the permutation matrix at 2 MB f32
-        chunk = w if w <= 1024 else (256 if w % 256 == 0 else 128)
+        # (the MXU permutation trick) — A/B'd on v5e at 8x16x512x1024
+        # vs 6.3 ms (reshape+transpose) and 13 ms (strided slices).
+        # bf16 matmul of 0/1 matrices is exact. MINIMAL-K form: 256-lane
+        # input chunks -> 128-lane output chunks (out px [128k, 128k+128)
+        # of a quadrant row = evens/odds of input px [256k, 256k+256)),
+        # so each output element contracts K=256 — 4x fewer MXU FLOPs
+        # than the former chunk=w einsum — and the [b,c,K,128] output is
+        # in exact row-major quadrant order: its flat [b,c,h2*w2] view
+        # feeds the kernel directly (no [b,1,c,px] operand reshape
+        # copies, ~0.44 ms/b8-dispatch at 512x1024x16 in the round-3
+        # trace).
+        ev = np.zeros((256, 128), np.float32)
+        od = np.zeros((256, 128), np.float32)
+        for j in range(128):
+            ev[2 * j, j] = 1.0
+            od[2 * j + 1, j] = 1.0
+        ev = jnp.asarray(ev, x.dtype)
+        od = jnp.asarray(od, x.dtype)
+        if row_planes is None:
+            xr = x.reshape(b, c, h2, 2, w)
+            row_planes = (xr[:, :, :, 0], xr[:, :, :, 1])
+        q_flat = []
+        for rp in row_planes:
+            r = rp.reshape(b, c, (h2 * w) // 256, 256)
+            for m in (ev, od):
+                q = jnp.einsum("bckp,pq->bckq", r, m)
+                q_flat.append(q.reshape(b, c, h2 * w2))
+    elif w % 128 == 0:
+        # w == 128 (mod 256): fall back to the full-row-chunk einsum —
+        # the minimal-K form's 64-lane output chunks would tile T(8,64)
+        chunk = w
         ev = np.zeros((chunk, chunk // 2), np.float32)
         od = np.zeros((chunk, chunk // 2), np.float32)
         for j in range(chunk // 2):
@@ -808,22 +840,15 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
             od[2 * j + 1, j] = 1.0
         ev = jnp.asarray(ev, x.dtype)
         od = jnp.asarray(od, x.dtype)
-        # (One K-chunk dot over the whole 6-D-reshaped pair was tried:
-        # the [.., k, chunk] retile of the flat pair lowers to a
-        # pathological T(4,128) copy — 2.3 ms/b8 vs ~1.1 for the 5-D
-        # slice route. Keep per-plane einsums; skip the 4-quadrant
-        # concat by passing the per-quadrant arrays straight to the
-        # pallas specs.)
         if row_planes is None:
             xr = x.reshape(b, c, h2, 2, w)
             row_planes = (xr[:, :, :, 0], xr[:, :, :, 1])
-        qs = []
+        q_flat = []
         for rp in row_planes:
             r = rp.reshape(b, c, h2, w // chunk, chunk)
             for m in (ev, od):
                 q = jnp.einsum("bchkp,pq->bchkq", r, m)
-                qs.append(q.reshape(b, 1, c, h2 * w2))
-        q_arrays = [(qs[q], 0) for q in range(4)]  # (ry, rx) row-major
+                q_flat.append(q.reshape(b, c, h2 * w2))
     elif row_planes is not None:
         qs = []
         for rp in row_planes:
@@ -845,12 +870,17 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         rows = _lane_round(target, w2)
     hp2 = _round_up(h2, rows)
     if hp2 != h2:
-        pad = {}
-        q_arrays = [
-            (pad.setdefault(id(a), jnp.concatenate(
-                [a, jnp.zeros(a.shape[:3] + ((hp2 - h2) * w2,), a.dtype)],
-                axis=3)), pi)
-            for a, pi in q_arrays]
+        if q_flat is not None:
+            q_flat = [jnp.concatenate(
+                [a, jnp.zeros(a.shape[:2] + ((hp2 - h2) * w2,), a.dtype)],
+                axis=2) for a in q_flat]
+        else:
+            pad = {}
+            q_arrays = [
+                (pad.setdefault(id(a), jnp.concatenate(
+                    [a, jnp.zeros(a.shape[:3] + ((hp2 - h2) * w2,),
+                                  a.dtype)], axis=3)), pi)
+                for a, pi in q_arrays]
     tile_p = rows * w2
     n_tiles = hp2 * w2 // tile_p
     if expand:
@@ -865,23 +895,36 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     halo_rows = _halo_rows(rows, w2, 2)
     ratio = rows // halo_rows
 
-    def qspec(pi, blk, fn):
-        return pl.BlockSpec((1, 1, c, blk),
-                            lambda bi, i, pi=pi, fn=fn: (bi, pi, 0, fn(i)),
-                            memory_space=pltpu.VMEM)
     x_specs, x_ops = [], []
-    for arr, pi in q_arrays:
-        # thin halo view: the only non-center taps are si=-1/sj=-1, so
-        # halo_rows rows of the previous tile suffice (clamped + masked
-        # at the top boundary)
-        x_specs.append(qspec(pi, halo_rows * w2,
-                             lambda i: jnp.maximum(i * ratio - 1, 0)))
-        x_specs.append(qspec(pi, tile_p, lambda i: i))
-        x_ops.extend([arr, arr])
+    if q_flat is not None:
+        def qspec3(blk, fn):
+            return pl.BlockSpec((1, c, blk),
+                                lambda bi, i, fn=fn: (bi, 0, fn(i)),
+                                memory_space=pltpu.VMEM)
+        for arr in q_flat:
+            # thin halo view: the only non-center taps are si=-1/sj=-1,
+            # so halo_rows rows of the previous tile suffice (clamped +
+            # masked at the top boundary)
+            x_specs.append(qspec3(halo_rows * w2,
+                                  lambda i: jnp.maximum(i * ratio - 1, 0)))
+            x_specs.append(qspec3(tile_p, lambda i: i))
+            x_ops.extend([arr, arr])
+    else:
+        def qspec(pi, blk, fn):
+            return pl.BlockSpec((1, 1, c, blk),
+                                lambda bi, i, pi=pi, fn=fn:
+                                (bi, pi, 0, fn(i)),
+                                memory_space=pltpu.VMEM)
+        for arr, pi in q_arrays:
+            x_specs.append(qspec(pi, halo_rows * w2,
+                                 lambda i: jnp.maximum(i * ratio - 1, 0)))
+            x_specs.append(qspec(pi, tile_p, lambda i: i))
+            x_ops.extend([arr, arr])
     out = pl.pallas_call(
         functools.partial(_invres_s2_kernel, h2=h2, w2=w2, tile_p=tile_p,
                           halo_px=halo_rows * w2,
-                          expand=expand, center_valid=hp2 == h2),
+                          expand=expand, center_valid=hp2 == h2,
+                          q3d=q_flat is not None),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp2 * w2), x.dtype),
         grid=(b, n_tiles),
         in_specs=[_full_spec(wexp.shape),

@@ -70,7 +70,7 @@ def _banded(a: np.ndarray, n_tiles: int, tile: int, band: int,
 
 
 def _kernel(starts_ref, ah_ref, awt_ref, *refs, num_classes: int,
-            n_w: int, band_w: int, wc_starts):
+            n_w: int, band_w: int, wc_starts, bf16_ops: bool):
     """Grid step = (batch b, output row-tile i, class k).
 
     starts_ref: [n_h] int32 row-window starts (scalar prefetch)
@@ -96,14 +96,19 @@ def _kernel(starts_ref, ah_ref, awt_ref, *refs, num_classes: int,
         idx_ref[:] = jnp.zeros_like(idx_ref)
 
     # views are 16-row blocks starting at starts[i] (16-aligned by
-    # _banded(align=16)); sublane-concat re-assembles the band window
-    xk = jnp.concatenate([v[0, 0] for v in views],
-                         axis=0).astype(jnp.float32)
+    # _banded(align=16)); sublane-concat re-assembles the band window.
+    # bf16_ops (the bf16-logit engine path): native-dtype dot operands
+    # with f32 accumulation — f32 operands quarter the MXU rate and the
+    # tail was MXU-bound at ~1.0 ms/b8-dispatch (interp weights round to
+    # bf16, <= ~0.4% of a weight; the running argmax compare stays f32)
+    xk = jnp.concatenate([v[0, 0] for v in views], axis=0)
+    xk = xk if bf16_ops else xk.astype(jnp.float32)
     t1 = jnp.dot(ah_ref[0], xk, preferred_element_type=jnp.float32)
+    t1c = t1.astype(jnp.bfloat16) if bf16_ops else t1
     cols = []
     for wj in range(n_w):                                  # static unroll
         c0 = wc_starts[wj]
-        cols.append(jnp.dot(t1[:, c0:c0 + band_w], awt_ref[wj],
+        cols.append(jnp.dot(t1c[:, c0:c0 + band_w], awt_ref[wj],
                             preferred_element_type=jnp.float32))
     t2 = jnp.concatenate(cols, axis=1)                     # [TILE_H, W]
     upd = t2 > val_ref[:]
@@ -181,10 +186,13 @@ def upsample_argmax(logits, out_hw, *, crop_hw=None,
             lambda bi, i, kk, s, j=j: (bi, kk, s[i] // 16 + j, 0),
             memory_space=pltpu.VMEM)
 
+    bf16_ops = x.dtype == jnp.bfloat16
+    band_dtype = jnp.bfloat16 if bf16_ops else jnp.float32
     grid = (b, n_h, k)
     out = pl.pallas_call(
         functools.partial(_kernel, num_classes=k, n_w=n_w, band_w=band_w,
-                          wc_starts=tuple(int(s) for s in w_starts)),
+                          wc_starts=tuple(int(s) for s in w_starts),
+                          bf16_ops=bf16_ops),
         out_shape=jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.uint8),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -148,9 +148,9 @@ def test_inv_res_s2_perm_split_path():
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("w,perm", [(40, False), (128, True)])
+@pytest.mark.parametrize("w,perm", [(40, False), (128, True), (256, True)])
 def test_inv_res_row_split_feeds_s2(w, perm):
-    """inv_res_chw(row_split=True) -> [B,2,C,H/2,W] row-parity planes
+    """inv_res_chw(row_split=True) -> [2,B,C,H/2,W] row-parity planes
     must (a) interleave back to the plain output exactly and (b) feed
     inv_res_s2_chw's pre-split path with identical results to the 4-D
     path — for both the generic (w%128!=0) and permutation-matmul
@@ -181,9 +181,9 @@ def test_inv_res_row_split_feeds_s2(w, perm):
     plain = inv_res_chw(x, *f1, residual=True, interpret=True)
     pair = inv_res_chw(x, *f1, residual=True, row_split=True,
                        interpret=True)
-    assert pair.shape == (2, 2, 16, 8, w)
-    # (a) interleave-back parity
-    inter = jnp.stack([pair[:, 0], pair[:, 1]], axis=3).reshape(plain.shape)
+    assert pair.shape == (2, 2, 16, 8, w)  # [plane, B, C, H/2, W]
+    # (a) interleave-back parity (pair is PLANE-MAJOR: pair[ry])
+    inter = jnp.stack([pair[0], pair[1]], axis=3).reshape(plain.shape)
     np.testing.assert_allclose(np.asarray(inter), np.asarray(plain),
                                rtol=1e-5, atol=1e-6)
     # (b) s2 block: pre-split input == 4-D input

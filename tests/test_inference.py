@@ -142,3 +142,35 @@ def test_normalize_s2d_perm_matmul_branch_matches_reference():
     got_chw = np.asarray(_normalize_s2d_chw(jnp.asarray(img), jnp.float32))
     np.testing.assert_allclose(got_chw, np.transpose(ref, (0, 3, 1, 2)),
                                rtol=0, atol=1e-6)
+
+    # row-flat [N,H,W*3] input (the production form) == 4-D input, both
+    # dtypes bit-for-bit
+    flat = jnp.asarray(img.reshape(2, 16, 256 * 3))
+    got_flat = np.asarray(_normalize_s2d_chw(flat, jnp.float32,
+                                             hw=(16, 256)))
+    np.testing.assert_array_equal(got_flat, got_chw)
+    g4 = np.asarray(_normalize_s2d_chw(jnp.asarray(img), jnp.bfloat16)
+                    .astype(jnp.float32))
+    gf = np.asarray(_normalize_s2d_chw(flat, jnp.bfloat16, hw=(16, 256))
+                    .astype(jnp.float32))
+    np.testing.assert_array_equal(gf, g4)
+
+
+def test_row_flat_input_form_matches_4d(arch1_model):
+    """build_infer_fn accepts the production ROW-FLAT [N,H,W*3] uint8
+    form (what Segmenter.predict ships to avoid the 4-D parameter's
+    device-side relayout) — masks identical to the [N,H,W,3] form, for
+    batch and single-image inputs, through the full Pallas fast path."""
+    genotype, params, stats = arch1_model
+    img = (np.random.RandomState(7).rand(1, 64, 256, 3) * 255).astype(
+        np.uint8)
+    fn = build_infer_fn(genotype, num_classes=7, input_hw=(64, 256),
+                        compute_dtype=jnp.float32, use_pallas=True,
+                        pallas_interpret=True)
+    want = np.asarray(fn(params, stats, jnp.asarray(img)))
+    got = np.asarray(fn(params, stats,
+                        jnp.asarray(img.reshape(1, 64, 256 * 3))))
+    np.testing.assert_array_equal(got, want)
+    got1 = np.asarray(fn(params, stats,
+                         jnp.asarray(img[0].reshape(64, 256 * 3))))
+    np.testing.assert_array_equal(got1, want[0])
