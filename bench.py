@@ -87,9 +87,11 @@ def main():
 
     rng = np.random.RandomState(0)
     frames_host = rng.randint(0, 256, size=(batch, h, w, 3), dtype=np.uint8)
-    # row-flat [N, H, W*3] staging: the production input form (the 4-D
-    # uint8 parameter costs a device-side relayout, see build_infer_fn)
-    frames = jax.device_put(frames_host.reshape(batch, h, w * 3), dev)
+    # production staging (pair-blocked [N,H/2,*,768] when w%256==0,
+    # else row-flat [N,H,W*3]): free host views; the 4-D uint8 parameter
+    # costs a device-side relayout (see _stage_u8 / build_infer_fn)
+    from segtpu.engine.inference import _stage_u8
+    frames = jax.device_put(_stage_u8(frames_host)[0], dev)
 
     t0 = time.time()
     _ = float(step(params, stats, frames))

@@ -6,7 +6,16 @@ seeds). Prints one JSON line per seed; the measured numbers are
 recorded in docs/DESIGN.md.
 
 Usage: python scripts/supernet_fidelity.py [K] [epochs] [--tpu]
-           [--color] [--seeds 0,1]
+           [--pretrain best_params.npz]
+           [--color] [--seeds 0,1] [--self]
+
+--self: noise-ceiling mode. Runs the SAME K genotypes under two
+measurement seeds (different weight inits, same data) and reports the
+discrete-vs-discrete and supernet-vs-supernet self-Spearmans alongside
+the cross fidelity. If the discrete proxy cannot rank-agree with
+ITSELF across inits, the cross number is bounded by proxy noise, not
+by the supernet's resolution deviation — the diagnostic VERDICT r2
+next#4 needs before reaching for per-block native resolutions.
 """
 
 import json
@@ -43,6 +52,18 @@ def main():
     use_color = "--color" in sys.argv
     if use_color:
         sys.argv.remove("--color")
+    self_mode = "--self" in sys.argv
+    if self_mode:
+        sys.argv.remove("--self")
+    pretrain = None
+    if "--pretrain" in sys.argv:
+        # measure under the conditions the recorded search actually ran
+        # in (scripts/run_search_demo.py stage 0): a task-pre-trained
+        # encoder — with a random encoder the cached taps are random
+        # projections and rewards collapse into a noise band
+        i = sys.argv.index("--pretrain")
+        pretrain = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
@@ -59,8 +80,41 @@ def main():
     cfg = SearchConfig(num_classes=5, crop_size=(64, 64),
                        batch_size=(8, 8), num_epochs=(epochs, 0), seed=0,
                        **data_kw)
+    enc_kw = {}
+    if pretrain is not None:
+        import jax
+        from segtpu.models import ARCHS
+        from segtpu.models.segmenter import segmenter_init
+        from segtpu.utils.saver import load_pytree_like
+        tp, ts = segmenter_init(jax.random.PRNGKey(0), ARCHS["arch0"],
+                                num_classes=cfg.num_classes, aux=True)
+        blob = load_pytree_like(pretrain, {"params": tp, "stats": ts})
+        enc_kw = dict(enc_params=blob["params"]["encoder"],
+                      enc_stats=blob["stats"]["encoder"])
+        print(f"# pre-trained encoder: {pretrain}", file=sys.stderr)
+    if self_mode:
+        from segtpu.utils.metrics import spearman
+        res = {}
+        genos = None
+        for seed in seeds[:2]:
+            rho, r_pg, r_sn, genos = measure_proxy_fidelity(
+                cfg, k=k, seed=seed, genotypes=genos, **enc_kw)
+            res[seed] = (rho, r_pg, r_sn)
+            print(f"# seed {seed}: cross rho={rho:.4f}", file=sys.stderr)
+        (s0, s1) = seeds[:2]
+        print(json.dumps({
+            "metric": "proxy_fidelity_with_noise_ceiling",
+            "k": k, "epochs": epochs,
+            "data": "color" if use_color else "synthetic",
+            "cross": [round(res[s][0], 4) for s in (s0, s1)],
+            "self_discrete": round(
+                spearman(res[s0][1], res[s1][1]), 4),
+            "self_supernet": round(
+                spearman(res[s0][2], res[s1][2]), 4)}), flush=True)
+        return
     for seed in seeds:
-        rho, r_pg, r_sn, genos = measure_proxy_fidelity(cfg, k=k, seed=seed)
+        rho, r_pg, r_sn, genos = measure_proxy_fidelity(cfg, k=k, seed=seed,
+                                                        **enc_kw)
         for g, a, b in zip(genos, r_pg, r_sn):
             print(f"# discrete={a:.4f} supernet={b:.4f}  {g}",
                   file=sys.stderr)

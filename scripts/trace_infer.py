@@ -33,8 +33,10 @@ def main():
     dev = jax.devices()[0]
     params, stats = jax.device_put((params, stats), dev)
     rng = np.random.RandomState(0)
+    from segtpu.engine.inference import _stage_u8
     frames = jax.device_put(
-        rng.randint(0, 256, (batch, h, w, 3), np.uint8), dev)
+        _stage_u8(rng.randint(0, 256, (batch, h, w, 3), np.uint8))[0],
+        dev)
 
     infer = jax.jit(build_infer_fn(genotype, num_classes=19,
                                    input_hw=(h, w),

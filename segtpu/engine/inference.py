@@ -127,12 +127,21 @@ def _normalize_s2d(img_u8, compute_dtype):
 
 def _normalize_s2d_chw(img_u8, compute_dtype, hw: Optional[Tuple[int, int]]
                        = None):
-    """uint8 [N,H,W,3] (or row-flat [N,H,W*3] with ``hw`` given) ->
+    """uint8 [N,H,W,3] (or row-flat [N,H,W*3], or PAIR-BLOCKED
+    [N,H/2,(W*6)//768,768] — both staged views need ``hw``) ->
     normalized CHW s2d planes [N,12,H/2,W/2] for the full-CHW Pallas
     encoder (models.fast_encoder.mbv2_chw_apply). Per-channel
     permutation matmuls write each channel plane directly in its final
     flat-pixel layout — no NHWC tensor (and no 12->128 lane padding)
     ever exists. Same arithmetic as _normalize_s2d.
+
+    The pair-blocked form (w %% 256 == 0 only) is a FREE host reshape of
+    the contiguous HWC bytes — record i holds full-res rows 2i and 2i+1
+    — and is already the einsum operand shape: the jitted program does
+    no u8 relayout at all (the row-flat form still paid a ~0.27 ms
+    [N,H,8,768] reshape copy per b8 dispatch at 1024x2048), and the
+    even/odd row split becomes a contiguous block slice instead of a
+    stride-2 row slice.
 
     Round-3 form (w % 256 == 0): the jitted program takes the ROW-FLAT
     [N,H,W*3] image — XLA assigned the 4-D parameter a pathological
@@ -146,7 +155,14 @@ def _normalize_s2d_chw(img_u8, compute_dtype, hw: Optional[Tuple[int, int]]
     transpose variant was tried in round 3 and REGRESSED — the 5-D u8
     reshape drew pathological XLA layouts, 9.4 ms of front vs 1.9 for
     this form.)"""
-    if img_u8.ndim == 4:
+    blocked = None
+    if img_u8.ndim == 4 and img_u8.shape[-1] == 768:
+        n = img_u8.shape[0]
+        h, w = int(hw[0]), int(hw[1])
+        assert w % 256 == 0 and img_u8.shape[1] == h // 2
+        blocked = img_u8
+        imgf = None
+    elif img_u8.ndim == 4:
         n, h, w, _ = img_u8.shape
         imgf = img_u8.reshape(n, h, w * 3)
     else:
@@ -159,9 +175,14 @@ def _normalize_s2d_chw(img_u8, compute_dtype, hw: Optional[Tuple[int, int]]
     fold_bf16 = compute_dtype == jnp.bfloat16
     p0, p1 = _s2d_perm_mats()
     if w % 256 == 0:
-        xb = imgf.reshape(n, h, (w * 3) // 768, 768)
-        xe = xb[:, 0::2].astype(jnp.bfloat16)
-        xo = xb[:, 1::2].astype(jnp.bfloat16)
+        if blocked is not None:
+            k = (w * 3) // 768
+            xe = blocked[:, :, :k].astype(jnp.bfloat16)
+            xo = blocked[:, :, k:].astype(jnp.bfloat16)
+        else:
+            xb = imgf.reshape(n, h, (w * 3) // 768, 768)
+            xe = xb[:, 0::2].astype(jnp.bfloat16)
+            xo = xb[:, 1::2].astype(jnp.bfloat16)
         planes = []
         for c in range(12):
             # channel c = (row parity dy = c//6, px parity + rgb = c%6):
@@ -247,17 +268,22 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
         return x, "nhwc3"
 
     def infer(params, stats, img_u8):
-        # img_u8 is [N,H,W,3] / [H,W,3], or ROW-FLAT [N,H,W*3] /
-        # [H,W*3] (last dim != 3): the flat form is the production fast
-        # path — XLA gives the 4-D uint8 parameter a pathological layout
-        # and re-lays it out on device (~0.43 ms/b8-dispatch at
-        # 1024x2048); the flat parameter keeps its natural row-major
-        # layout and every consumer view of it is free. Only one of the
-        # two views below is consumed per path; XLA DCEs the other.
-        flat = img_u8.shape[-1] != 3
+        # img_u8 is [N,H,W,3] / [H,W,3], ROW-FLAT [N,H,W*3] / [H,W*3]
+        # (last dim != 3), or PAIR-BLOCKED [N,H/2,(W*6)//768,768]
+        # (batched only; w % 256 == 0). The staged forms are the
+        # production fast path — XLA gives the 4-D [.,H,W,3] uint8
+        # parameter a pathological layout and re-lays it out on device,
+        # and even the row-flat form pays a [N,H,8,768] u8 reshape copy
+        # (~0.27 ms/b8 at 1024x2048); the pair-blocked form IS the
+        # einsum operand shape, so no device-side u8 relayout exists.
+        # Only one of the views below is consumed per path; XLA DCEs
+        # the others.
+        blocked = img_u8.ndim == 4 and img_u8.shape[-1] == 768
+        flat = not blocked and img_u8.shape[-1] != 3
         nd_batched = 3 if flat else 4
         imgb = img_u8 if img_u8.ndim == nd_batched else img_u8[None]
-        img = imgb.reshape(imgb.shape[0], h, w, 3) if flat else imgb
+        img = (imgb.reshape(imgb.shape[0], h, w, 3)
+               if (flat or blocked) else imgb)
         if use_pallas and not return_logits:
             # Fast path: full-CHW Pallas pipeline. Round 1 kept the XLA
             # NHWC encoder (the then-kernels lost); with the round-2
@@ -271,8 +297,9 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
             from segtpu.models.fast_decoder import (
                 build_fast_decoder, build_fast_template_decoder)
             if use_s2d:
-                x12 = _normalize_s2d_chw(imgb if flat else img,
-                                         compute_dtype, hw=(h, w))
+                x12 = _normalize_s2d_chw(imgb if (flat or blocked)
+                                         else img, compute_dtype,
+                                         hw=(h, w))
                 x12 = jnp.pad(x12, ((0, 0), (0, 0), (0, (hp - h) // 2),
                                     (0, (wp - w) // 2)))
                 from segtpu.models.fast_encoder import mbv2_chw_apply
@@ -399,6 +426,28 @@ def build_sharded_pallas_infer(genotype, *, num_classes: int,
     return infer_local
 
 
+def _stage_u8(img_u8: np.ndarray):
+    """Host-side staging of a uint8 [..,H,W,3] image/batch into the
+    fastest accepted input form of build_infer_fn's jitted program —
+    all forms are FREE numpy views of the contiguous HWC bytes.
+    Returns (staged, squeeze): squeeze marks a single image staged with
+    an added batch dim (the pair-blocked form is batched-only).
+
+    * H even and W % 256 == 0 -> PAIR-BLOCKED [N,H/2,(W*6)//768,768]:
+      already the front's einsum operand shape, zero device-side u8
+      relayout (see _normalize_s2d_chw).
+    * otherwise -> ROW-FLAT [..,H,W*3]: the 4-D parameter draws a
+      pathological XLA layout and a device-side relayout copy.
+    """
+    h, w = img_u8.shape[-3:-1]
+    single = img_u8.ndim == 3
+    if h % 2 == 0 and w % 256 == 0:
+        lead = (1,) if single else img_u8.shape[:-3]
+        return (img_u8.reshape(lead + (h // 2, (w * 6) // 768, 768)),
+                single)
+    return img_u8.reshape(img_u8.shape[:-2] + (-1,)), False
+
+
 class Segmenter:
     """User-facing inference API (reference: engine/inference segmenter API).
 
@@ -444,13 +493,11 @@ class Segmenter:
         img_u8 = np.ascontiguousarray(img_u8, dtype=np.uint8)
         hw = img_u8.shape[-3:-1]
         fn = self._compiled((int(hw[0]), int(hw[1])), return_logits)
-        # ship the ROW-FLAT [.., H, W*3] view (a free numpy reshape):
-        # the 4-D uint8 parameter draws a pathological XLA layout and a
-        # device-side relayout copy (see build_infer_fn)
-        flat = img_u8.reshape(img_u8.shape[:-2] + (-1,))
+        staged, squeeze = _stage_u8(img_u8)
         out = fn(self._params, self._stats,
-                 jax.device_put(flat, self._device))
-        return np.asarray(out)
+                 jax.device_put(staged, self._device))
+        out = np.asarray(out)
+        return out[0] if squeeze else out
 
     predict_batch = predict
 
@@ -461,8 +508,8 @@ class Segmenter:
         def _stage(im):
             im = np.ascontiguousarray(im, np.uint8)
             hw = im.shape[-3:-1]
-            return (jax.device_put(im.reshape(im.shape[:-2] + (-1,)),
-                                   self._device), hw)
+            staged, squeeze = _stage_u8(im)
+            return (jax.device_put(staged, self._device), hw, squeeze)
 
         it = iter(images)
         try:
@@ -471,13 +518,14 @@ class Segmenter:
             return
         pending = None
         while nxt is not None:
-            cur, hw = nxt
+            cur, hw, squeeze = nxt
             try:
                 nxt = _stage(next(it))
             except StopIteration:
                 nxt = None
             fn = self._compiled((int(hw[0]), int(hw[1])))
             out = fn(self._params, self._stats, cur)
+            out = out[0] if squeeze else out
             if pending is not None:
                 yield np.asarray(pending)
             pending = out

@@ -613,13 +613,18 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     """Fused stride-1 inverted residual. x [B, C, H, W] -> [B, Cout, H, W].
     All weights HWIO with BN pre-folded; pass w_exp=None for t=1 blocks.
 
-    row_split: emit row-parity planes [2, B, Cout, H/2, W] (plane ry =
-    rows 2i+ry, PLANE-MAJOR so per-plane consumers slice the leading
-    dim layout-free) for a following stride-2 block (inv_res_s2_chw
-    consumes them directly) — the row half of the quadrant split happens
-    in the kernel's output write instead of a strided XLA gather.
-    Requires H even and an even divisor row-tile; falls back to the
-    plain output + XLA gather otherwise.
+    row_split: emit row-parity planes FLAT [2, B, Cout, (H/2)*W] (plane
+    ry = rows 2i+ry, PLANE-MAJOR so per-plane consumers slice the
+    leading dim layout-free) for a following stride-2 block
+    (inv_res_s2_chw consumes them via pair_hw=(H/2, W)) — the row half
+    of the quadrant split happens in the kernel's output write instead
+    of a strided XLA gather. The pair stays in the kernel's own flat
+    [.., C, px] layout: the former 5-D [2,B,C,H/2,W] return forced a
+    (C-sublane, px-lane) -> (row-sublane, W-lane) relayout on the way
+    out and a second one back inside the consumer (~0.9 ms/b8-dispatch
+    at 512x1024x16 in the round-3 trace — copy.617 + slice pair +
+    reshape.31). Requires H even and an even divisor row-tile; falls
+    back to the plain output + an XLA gather otherwise.
     """
     b, c, h, w = x.shape
     expand = w_exp is not None
@@ -637,7 +642,8 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         y = inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj,
                         residual=residual, interpret=interpret)
         pair = jnp.transpose(y.reshape(b, c_out, h // 2, 2, w),
-                             (3, 0, 1, 2, 4))
+                             (3, 0, 1, 2, 4)).reshape(2, b, c_out,
+                                                      (h // 2) * w)
         return (pair, y) if row_split == "dual" else pair
     xf, hp = _flatten(x, rows)
     tile_p = rows * w
@@ -688,10 +694,10 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
       b_proj.reshape(c_out, 1), xf, xf, xf)
     if row_split == "dual":
         pair, plain = out
-        return (pair.reshape(2, b, c_out, hp // 2, w)[:, :, :, :h // 2],
+        return (pair[..., :(h // 2) * w],
                 plain.reshape(b, c_out, hp, w)[:, :, :h])
     if row_split:
-        return out.reshape(2, b, c_out, hp // 2, w)[:, :, :, :h // 2]
+        return out[..., :(h // 2) * w]
     return out.reshape(b, c_out, hp, w)[:, :, :h]
 
 
@@ -770,21 +776,33 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("pair_hw", "interpret"))
 def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
-                   interpret: bool = False):
+                   pair_hw=None, interpret: bool = False):
     """Fused stride-2 inverted residual (torch pad=1 semantics).
     x [B, C, H, W] (H, W even) -> [B, Cout, H/2, W/2]. All weights HWIO
     with BN pre-folded; w_exp=None for t=1 blocks.
 
-    x may also be PRE-ROW-SPLIT [2, B, C, H/2, W] (PLANE-MAJOR: plane
-    ry = full-res rows 2i+ry, the inv_res_chw(row_split=True) output):
+    x may also be the PRE-ROW-SPLIT FLAT pair [2, B, C, (H/2)*W]
+    (PLANE-MAJOR: plane ry = full-res rows 2i+ry, the
+    inv_res_chw(row_split=True) output), flagged by pair_hw=(H/2, W):
     the row half of the quadrant split — the expensive strided gather —
     is then already done, and only the column deinterleave (cheap MXU
-    permutation matmuls) happens here. Plane-major means x[ry] is a
-    leading-dim slice whose [B, C, H/2, W] view is layout-free (the
-    [B, 2, ...] form cost two full-tensor reorder copies per dispatch)."""
-    if x.ndim == 5:
+    permutation matmuls) happens here. Plane-major + flat means x[ry]
+    is a leading-dim slice that is ALREADY in the kernels' (C-sublane,
+    px-lane) layout — the w%256 path reshapes it straight into the
+    [B, C, px/256, 256] einsum operand, ONE relayout total (the former
+    5-D [2,B,C,H/2,W] interface paid that relayout twice more on the
+    round trip: ~0.9 ms/b8-dispatch at 512x1024x16, round-3 trace)."""
+    pair_flat = None
+    if pair_hw is not None:
+        assert x.ndim == 4, "pair_hw expects the flat [2,B,C,px] pair"
+        h2, w = int(pair_hw[0]), int(pair_hw[1])
+        _, b, c, _ = x.shape
+        h = 2 * h2
+        pair_flat = (x[0], x[1])               # each [B, C, (H/2)*W]
+        row_planes = None
+    elif x.ndim == 5:
         _, b, c, h2, w = x.shape
         h = 2 * h2
         row_planes = (x[0], x[1])              # each [B, C, H/2, W]
@@ -820,11 +838,15 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
             od[2 * j + 1, j] = 1.0
         ev = jnp.asarray(ev, x.dtype)
         od = jnp.asarray(od, x.dtype)
-        if row_planes is None:
+        if pair_flat is not None:
+            planes = pair_flat                 # already flat [B, C, px]
+        elif row_planes is not None:
+            planes = row_planes
+        else:
             xr = x.reshape(b, c, h2, 2, w)
-            row_planes = (xr[:, :, :, 0], xr[:, :, :, 1])
+            planes = (xr[:, :, :, 0], xr[:, :, :, 1])
         q_flat = []
-        for rp in row_planes:
+        for rp in planes:
             r = rp.reshape(b, c, (h2 * w) // 256, 256)
             for m in (ev, od):
                 q = jnp.einsum("bckp,pq->bckq", r, m)
@@ -840,6 +862,8 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
             od[2 * j + 1, j] = 1.0
         ev = jnp.asarray(ev, x.dtype)
         od = jnp.asarray(od, x.dtype)
+        if pair_flat is not None:
+            row_planes = tuple(pf.reshape(b, c, h2, w) for pf in pair_flat)
         if row_planes is None:
             xr = x.reshape(b, c, h2, 2, w)
             row_planes = (xr[:, :, :, 0], xr[:, :, :, 1])
@@ -849,7 +873,9 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
             for m in (ev, od):
                 q = jnp.einsum("bchkp,pq->bchkq", r, m)
                 q_flat.append(q.reshape(b, c, h2 * w2))
-    elif row_planes is not None:
+    elif row_planes is not None or pair_flat is not None:
+        if pair_flat is not None:
+            row_planes = tuple(pf.reshape(b, c, h2, w) for pf in pair_flat)
         qs = []
         for rp in row_planes:
             r = rp.reshape(b, c, h2, w2, 2)

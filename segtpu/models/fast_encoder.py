@@ -161,6 +161,7 @@ def mbv2_chw_apply(params, stats, x12, *, interpret: bool = False,
                          stage in _TAP_STAGES and i == n - 1))
     taps = []
     cin = 32
+    pair_hw = None   # (H/2, W) when y is a flat row-split pair
     for bi, (stage, stride, c, is_tap) in enumerate(flat):
         residual = stride == 1 and cin == c
         p, st = params["blocks"][bi], stats["blocks"][bi]
@@ -192,19 +193,27 @@ def mbv2_chw_apply(params, stats, x12, *, interpret: bool = False,
             if split and is_tap:
                 # tap AND stride-2 feed: one kernel, two outputs (the
                 # extra sequential write beats a read + strided gather)
+                hw2 = (y.shape[-2] // 2, y.shape[-1])
                 y, tap = inv_res_chw(y, we, be, wd, bd, wp, bp,
                                      residual=residual, row_split="dual",
                                      interpret=interpret)
                 taps.append(tap)
+                pair_hw = hw2
+            elif split:
+                hw2 = (y.shape[-2] // 2, y.shape[-1])
+                y = inv_res_chw(y, we, be, wd, bd, wp, bp,
+                                residual=residual, row_split=True,
+                                interpret=interpret)
+                pair_hw = hw2
             else:
                 y = inv_res_chw(y, we, be, wd, bd, wp, bp,
-                                residual=residual, row_split=split,
-                                interpret=interpret)
+                                residual=residual, interpret=interpret)
                 if is_tap:
                     taps.append(y)
         else:
             y = inv_res_s2_chw(y, we, be, wd, bd, wp, bp,
-                               interpret=interpret)
+                               pair_hw=pair_hw, interpret=interpret)
+            pair_hw = None
             if is_tap:
                 taps.append(y)
         cin = c

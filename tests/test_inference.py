@@ -155,6 +155,18 @@ def test_normalize_s2d_perm_matmul_branch_matches_reference():
                     .astype(jnp.float32))
     np.testing.assert_array_equal(gf, g4)
 
+    # pair-blocked [N,H/2,(W*6)//768,768] staged input (the production
+    # form, _stage_u8) == 4-D input, both dtypes bit-for-bit
+    from segtpu.engine.inference import _stage_u8
+    blocked, squeeze = _stage_u8(img)
+    assert not squeeze and blocked.shape == (2, 8, 2, 768)
+    gb = np.asarray(_normalize_s2d_chw(jnp.asarray(blocked), jnp.float32,
+                                       hw=(16, 256)))
+    np.testing.assert_array_equal(gb, got_chw)
+    gbb = np.asarray(_normalize_s2d_chw(jnp.asarray(blocked), jnp.bfloat16,
+                                        hw=(16, 256)).astype(jnp.float32))
+    np.testing.assert_array_equal(gbb, g4)
+
 
 def test_row_flat_input_form_matches_4d(arch1_model):
     """build_infer_fn accepts the production ROW-FLAT [N,H,W*3] uint8
@@ -174,3 +186,13 @@ def test_row_flat_input_form_matches_4d(arch1_model):
     got1 = np.asarray(fn(params, stats,
                          jnp.asarray(img[0].reshape(64, 256 * 3))))
     np.testing.assert_array_equal(got1, want[0])
+    # pair-blocked staged form (what _stage_u8 ships for w%256==0)
+    from segtpu.engine.inference import _stage_u8
+    staged, squeeze = _stage_u8(img)
+    assert not squeeze
+    gotb = np.asarray(fn(params, stats, jnp.asarray(staged)))
+    np.testing.assert_array_equal(gotb, want)
+    staged1, squeeze1 = _stage_u8(img[0])
+    assert squeeze1
+    gotb1 = np.asarray(fn(params, stats, jnp.asarray(staged1)))
+    np.testing.assert_array_equal(gotb1[0], want[0])
