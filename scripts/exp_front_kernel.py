@@ -44,8 +44,11 @@ def _front_kernel(pe_ref, po_ref, x_ref, out_ref, *, rows: int,
     x = x_ref[0]
     k2 = x.shape[1]
     k = k2 // 2
-    xe = x[:, :k].astype(jnp.bfloat16).reshape(rows * k, 768)
-    xo = x[:, k:].astype(jnp.bfloat16).reshape(rows * k, 768)
+    # Mosaic has no direct u8->float casts; widen u8->i32 first (VPU)
+    xe = (x[:, :k].astype(jnp.int32).astype(jnp.bfloat16)
+          .reshape(rows * k, 768))
+    xo = (x[:, k:].astype(jnp.int32).astype(jnp.bfloat16)
+          .reshape(rows * k, 768))
     planes = []
     for c in range(12):
         src = xe if c < 6 else xo

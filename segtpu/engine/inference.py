@@ -25,6 +25,7 @@ TPU-first design:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -36,6 +37,10 @@ from segtpu.models.segmenter import segmenter_apply
 from segtpu.utils.helpers import IMG_MEAN, IMG_STD, IMG_SCALE
 
 STRIDE = 32  # encoder output stride — pad-to-stride rule
+
+# A/B knob for the fused Pallas front (kernels.front), read ONCE at
+# import time (the value is baked into jitted programs at trace time)
+_FUSED_FRONT = os.environ.get("SEGTPU_FUSED_FRONT", "1") != "0"
 
 
 def pad_to_stride(hw: Tuple[int, int], stride: int = STRIDE) -> Tuple[int, int]:
@@ -297,11 +302,25 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
             from segtpu.models.fast_decoder import (
                 build_fast_decoder, build_fast_template_decoder)
             if use_s2d:
-                x12 = _normalize_s2d_chw(imgb if (flat or blocked)
-                                         else img, compute_dtype,
-                                         hw=(h, w))
-                x12 = jnp.pad(x12, ((0, 0), (0, 0), (0, (hp - h) // 2),
-                                    (0, (wp - w) // 2)))
+                if (blocked and _FUSED_FRONT and hp == h and wp == w
+                        and compute_dtype == jnp.bfloat16):
+                    # fused Pallas front (kernels.front): one uint8 read,
+                    # 12 MXU permutation dots, one flat CHW write —
+                    # replaces the XLA einsum+stack (bit-identical, see
+                    # front.py; 0.72 ms stack relayout + einsum HBM
+                    # round trip removed)
+                    from segtpu.kernels.front import normalize_s2d_front
+                    x12 = normalize_s2d_front(
+                        imgb, hw=(h, w), out_dtype=compute_dtype,
+                        interpret=pallas_interpret
+                    ).reshape(imgb.shape[0], 12, h // 2, w // 2)
+                else:
+                    x12 = _normalize_s2d_chw(imgb if (flat or blocked)
+                                             else img, compute_dtype,
+                                             hw=(h, w))
+                    x12 = jnp.pad(x12, ((0, 0), (0, 0),
+                                        (0, (hp - h) // 2),
+                                        (0, (wp - w) // 2)))
                 from segtpu.models.fast_encoder import mbv2_chw_apply
                 taps = mbv2_chw_apply(params["encoder"], stats["encoder"],
                                       x12, interpret=pallas_interpret)

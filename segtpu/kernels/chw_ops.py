@@ -590,14 +590,14 @@ def _invres_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
         # output is BOTH a decoder tap and a stride-2 input: one extra
         # sequential write instead of a read + strided gather).
         if row_split == "dual":
-            pair_ref, plain_ref = out_refs
+            pe_ref, po_ref, plain_ref = out_refs
             plain_ref[0] = y.astype(plain_ref.dtype)
         else:
-            pair_ref = out_ref
-        y = y.astype(pair_ref.dtype)
+            pe_ref, po_ref = out_refs
+        y = y.astype(pe_ref.dtype)
         rows = tile_p // w
-        for ry in (0, 1):
-            pair_ref[ry, 0] = jnp.concatenate(
+        for ry, ref in ((0, pe_ref), (1, po_ref)):
+            ref[0] = jnp.concatenate(
                 [jax.lax.slice_in_dim(y, (2 * i + ry) * w,
                                       (2 * i + ry + 1) * w, axis=1)
                  for i in range(rows // 2)], axis=1)
@@ -613,18 +613,17 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     """Fused stride-1 inverted residual. x [B, C, H, W] -> [B, Cout, H, W].
     All weights HWIO with BN pre-folded; pass w_exp=None for t=1 blocks.
 
-    row_split: emit row-parity planes FLAT [2, B, Cout, (H/2)*W] (plane
-    ry = rows 2i+ry, PLANE-MAJOR so per-plane consumers slice the
-    leading dim layout-free) for a following stride-2 block
-    (inv_res_s2_chw consumes them via pair_hw=(H/2, W)) — the row half
-    of the quadrant split happens in the kernel's output write instead
-    of a strided XLA gather. The pair stays in the kernel's own flat
-    [.., C, px] layout: the former 5-D [2,B,C,H/2,W] return forced a
-    (C-sublane, px-lane) -> (row-sublane, W-lane) relayout on the way
-    out and a second one back inside the consumer (~0.9 ms/b8-dispatch
-    at 512x1024x16 in the round-3 trace — copy.617 + slice pair +
-    reshape.31). Requires H even and an even divisor row-tile; falls
-    back to the plain output + an XLA gather otherwise.
+    row_split: emit row-parity planes as TWO separate FLAT arrays
+    (even, odd), each [B, Cout, (H/2)*W] (plane ry = rows 2i+ry), for
+    a following stride-2 block (inv_res_s2_chw consumes the tuple via
+    pair_hw=(H/2, W)) — the row half of the quadrant split happens in
+    the kernel's output write instead of a strided XLA gather, and
+    separate output buffers leave the consumer nothing to slice (each
+    is already a layout-free einsum operand; the stacked [2,...] form
+    made XLA materialize both leading-dim slices, ~0.40 ms/b8 at
+    512x1024x16; the older 5-D form paid ~0.9 ms of relayouts on top).
+    Requires H even and an even divisor row-tile; falls back to the
+    plain output + an XLA gather otherwise.
     """
     b, c, h, w = x.shape
     expand = w_exp is not None
@@ -641,9 +640,9 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         assert h % 2 == 0, "row_split requires even H"
         y = inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj,
                         residual=residual, interpret=interpret)
-        pair = jnp.transpose(y.reshape(b, c_out, h // 2, 2, w),
-                             (3, 0, 1, 2, 4)).reshape(2, b, c_out,
-                                                      (h // 2) * w)
+        yr = y.reshape(b, c_out, h // 2, 2, w)
+        pair = tuple(yr[:, :, :, ry].reshape(b, c_out, (h // 2) * w)
+                     for ry in (0, 1))
         return (pair, y) if row_split == "dual" else pair
     xf, hp = _flatten(x, rows)
     tile_p = rows * w
@@ -656,19 +655,20 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         bexp = jnp.zeros((1, 1), x.dtype)
     wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(9, cmid, 1)
     wproj = jnp.transpose(w_proj, (0, 1, 3, 2)).reshape(1, c_out, cmid).astype(x.dtype)
-    pair_shape = jax.ShapeDtypeStruct((2, b, c_out, (hp // 2) * w), x.dtype)
-    pair_spec = pl.BlockSpec((2, 1, c_out, (rows // 2) * w),
-                             lambda bi, i: (0, bi, 0, i),
-                             memory_space=pltpu.VMEM)
+    plane_shape = jax.ShapeDtypeStruct((b, c_out, (hp // 2) * w), x.dtype)
+    plane_spec = pl.BlockSpec((1, c_out, (rows // 2) * w),
+                              lambda bi, i: (bi, 0, i),
+                              memory_space=pltpu.VMEM)
     plain_shape = jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype)
     plain_spec = pl.BlockSpec((1, c_out, tile_p),
                               lambda bi, i: (bi, 0, i),
                               memory_space=pltpu.VMEM)
     if row_split == "dual":
-        out_shape = (pair_shape, plain_shape)
-        out_specs = (pair_spec, plain_spec)
+        out_shape = (plane_shape, plane_shape, plain_shape)
+        out_specs = (plane_spec, plane_spec, plain_spec)
     elif row_split:
-        out_shape, out_specs = pair_shape, pair_spec
+        out_shape = (plane_shape, plane_shape)
+        out_specs = (plane_spec, plane_spec)
     else:
         out_shape, out_specs = plain_shape, plain_spec
     halo_rows = _halo_rows(rows, w, 2)
@@ -692,12 +692,14 @@ def inv_res_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         interpret=interpret,
     )(wexp, bexp, wdw, b_dw.reshape(cmid, 1), wproj,
       b_proj.reshape(c_out, 1), xf, xf, xf)
+    crop = (h // 2) * w   # no-op: the kernel path requires h % rows == 0
     if row_split == "dual":
-        pair, plain = out
-        return (pair[..., :(h // 2) * w],
+        pe, po, plain = out
+        return ((pe[..., :crop], po[..., :crop]),
                 plain.reshape(b, c_out, hp, w)[:, :, :h])
     if row_split:
-        return out[..., :(h // 2) * w]
+        pe, po = out
+        return (pe[..., :crop], po[..., :crop])
     return out.reshape(b, c_out, hp, w)[:, :, :h]
 
 
@@ -783,34 +785,33 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     x [B, C, H, W] (H, W even) -> [B, Cout, H/2, W/2]. All weights HWIO
     with BN pre-folded; w_exp=None for t=1 blocks.
 
-    x may also be the PRE-ROW-SPLIT FLAT pair [2, B, C, (H/2)*W]
-    (PLANE-MAJOR: plane ry = full-res rows 2i+ry, the
+    x may also be the PRE-ROW-SPLIT plane TUPLE (even, odd), each FLAT
+    [B, C, (H/2)*W] (plane ry = full-res rows 2i+ry, the
     inv_res_chw(row_split=True) output), flagged by pair_hw=(H/2, W):
     the row half of the quadrant split — the expensive strided gather —
     is then already done, and only the column deinterleave (cheap MXU
-    permutation matmuls) happens here. Plane-major + flat means x[ry]
-    is a leading-dim slice that is ALREADY in the kernels' (C-sublane,
-    px-lane) layout — the w%256 path reshapes it straight into the
-    [B, C, px/256, 256] einsum operand, ONE relayout total (the former
-    5-D [2,B,C,H/2,W] interface paid that relayout twice more on the
-    round trip: ~0.9 ms/b8-dispatch at 512x1024x16, round-3 trace)."""
+    permutation matmuls) happens here. Two SEPARATE arrays mean each
+    plane is ALREADY in the kernels' (C-sublane, px-lane) layout and
+    there is nothing to slice — the w%256 path reshapes each straight
+    into the [B, C, px/256, 256] einsum operand with no data movement
+    at all (the stacked [2,B,C,px] form still made XLA materialize
+    both leading-dim slices, ~0.40 ms/b8-dispatch at 512x1024x16; the
+    older 5-D [2,B,C,H/2,W] form paid ~0.9 ms of relayouts on top)."""
     pair_flat = None
+    row_planes = None
     if pair_hw is not None:
-        assert x.ndim == 4, "pair_hw expects the flat [2,B,C,px] pair"
+        assert isinstance(x, (tuple, list)) and len(x) == 2, \
+            "pair_hw expects the (even, odd) flat plane tuple"
         h2, w = int(pair_hw[0]), int(pair_hw[1])
-        _, b, c, _ = x.shape
+        b, c, _ = x[0].shape
         h = 2 * h2
-        pair_flat = (x[0], x[1])               # each [B, C, (H/2)*W]
-        row_planes = None
-    elif x.ndim == 5:
-        _, b, c, h2, w = x.shape
-        h = 2 * h2
-        row_planes = (x[0], x[1])              # each [B, C, H/2, W]
+        pair_flat = tuple(x)                   # each [B, C, (H/2)*W]
+        dtype = x[0].dtype
     else:
         b, c, h, w = x.shape
         assert h % 2 == 0
         h2 = h // 2
-        row_planes = None
+        dtype = x.dtype
     assert w % 2 == 0
     w2 = w // 2
     expand = w_exp is not None
@@ -836,12 +837,10 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         for j in range(128):
             ev[2 * j, j] = 1.0
             od[2 * j + 1, j] = 1.0
-        ev = jnp.asarray(ev, x.dtype)
-        od = jnp.asarray(od, x.dtype)
+        ev = jnp.asarray(ev, dtype)
+        od = jnp.asarray(od, dtype)
         if pair_flat is not None:
             planes = pair_flat                 # already flat [B, C, px]
-        elif row_planes is not None:
-            planes = row_planes
         else:
             xr = x.reshape(b, c, h2, 2, w)
             planes = (xr[:, :, :, 0], xr[:, :, :, 1])
@@ -860,11 +859,11 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         for j in range(chunk // 2):
             ev[2 * j, j] = 1.0
             od[2 * j + 1, j] = 1.0
-        ev = jnp.asarray(ev, x.dtype)
-        od = jnp.asarray(od, x.dtype)
+        ev = jnp.asarray(ev, dtype)
+        od = jnp.asarray(od, dtype)
         if pair_flat is not None:
             row_planes = tuple(pf.reshape(b, c, h2, w) for pf in pair_flat)
-        if row_planes is None:
+        else:
             xr = x.reshape(b, c, h2, 2, w)
             row_planes = (xr[:, :, :, 0], xr[:, :, :, 1])
         q_flat = []
@@ -873,9 +872,8 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
             for m in (ev, od):
                 q = jnp.einsum("bchkp,pq->bchkq", r, m)
                 q_flat.append(q.reshape(b, c, h2 * w2))
-    elif row_planes is not None or pair_flat is not None:
-        if pair_flat is not None:
-            row_planes = tuple(pf.reshape(b, c, h2, w) for pf in pair_flat)
+    elif pair_flat is not None:
+        row_planes = tuple(pf.reshape(b, c, h2, w) for pf in pair_flat)
         qs = []
         for rp in row_planes:
             r = rp.reshape(b, c, h2, w2, 2)
@@ -910,13 +908,13 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     tile_p = rows * w2
     n_tiles = hp2 * w2 // tile_p
     if expand:
-        wexp = jnp.transpose(w_exp, (0, 1, 3, 2)).reshape(1, cmid, c).astype(x.dtype)
+        wexp = jnp.transpose(w_exp, (0, 1, 3, 2)).reshape(1, cmid, c).astype(dtype)
         bexp = b_exp.reshape(cmid, 1)
     else:
-        wexp = jnp.zeros((1, 1, 1), x.dtype)
-        bexp = jnp.zeros((1, 1), x.dtype)
+        wexp = jnp.zeros((1, 1, 1), dtype)
+        bexp = jnp.zeros((1, 1), dtype)
     wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(9, cmid, 1)
-    wproj = jnp.transpose(w_proj, (0, 1, 3, 2)).reshape(1, c_out, cmid).astype(x.dtype)
+    wproj = jnp.transpose(w_proj, (0, 1, 3, 2)).reshape(1, c_out, cmid).astype(dtype)
 
     halo_rows = _halo_rows(rows, w2, 2)
     ratio = rows // halo_rows
@@ -951,7 +949,7 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
                           halo_px=halo_rows * w2,
                           expand=expand, center_valid=hp2 == h2,
                           q3d=q_flat is not None),
-        out_shape=jax.ShapeDtypeStruct((b, c_out, hp2 * w2), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, c_out, hp2 * w2), dtype),
         grid=(b, n_tiles),
         in_specs=[_full_spec(wexp.shape),
                   _full_spec(bexp.shape),

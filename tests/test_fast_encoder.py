@@ -150,11 +150,11 @@ def test_inv_res_s2_perm_split_path():
 
 @pytest.mark.parametrize("w,perm", [(40, False), (128, True), (256, True)])
 def test_inv_res_row_split_feeds_s2(w, perm):
-    """inv_res_chw(row_split=True) -> FLAT [2,B,C,(H/2)*W] row-parity
-    planes must (a) interleave back to the plain output exactly and
-    (b) feed inv_res_s2_chw's pre-split path (pair_hw) with identical
-    results to the 4-D path — for both the generic (w%128!=0) and
-    permutation-matmul (w%128==0) column splits."""
+    """inv_res_chw(row_split=True) -> (even, odd) FLAT [B,C,(H/2)*W]
+    row-parity plane TUPLE must (a) interleave back to the plain output
+    exactly and (b) feed inv_res_s2_chw's pre-split path (pair_hw) with
+    identical results to the 4-D path — for both the generic (w%128!=0)
+    and permutation-matmul (w%128==0) column splits."""
     from segtpu.kernels.chw_ops import inv_res_s2_chw
     from segtpu.models.encoders import _inv_res_init
     key = jax.random.PRNGKey(11)
@@ -181,9 +181,10 @@ def test_inv_res_row_split_feeds_s2(w, perm):
     plain = inv_res_chw(x, *f1, residual=True, interpret=True)
     pair = inv_res_chw(x, *f1, residual=True, row_split=True,
                        interpret=True)
-    assert pair.shape == (2, 2, 16, 8 * w)  # [plane, B, C, (H/2)*W]
-    # (a) interleave-back parity (pair is PLANE-MAJOR: pair[ry])
-    p5 = pair.reshape(2, 2, 16, 8, w)
+    assert isinstance(pair, tuple) and len(pair) == 2
+    assert pair[0].shape == (2, 16, 8 * w)  # each [B, C, (H/2)*W]
+    # (a) interleave-back parity (pair is (even, odd))
+    p5 = [p.reshape(2, 16, 8, w) for p in pair]
     inter = jnp.stack([p5[0], p5[1]], axis=3).reshape(plain.shape)
     np.testing.assert_allclose(np.asarray(inter), np.asarray(plain),
                                rtol=1e-5, atol=1e-6)

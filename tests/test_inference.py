@@ -168,6 +168,31 @@ def test_normalize_s2d_perm_matmul_branch_matches_reference():
     np.testing.assert_array_equal(gbb, g4)
 
 
+def test_fused_front_kernel_matches_xla_front():
+    """kernels.front.normalize_s2d_front (the fused Pallas front on the
+    pair-blocked staged input) must be BIT-identical to the XLA front
+    _normalize_s2d_chw in bf16 — the production dtype the engine gates
+    it to (it reproduces the exact rounding order, see front.py) — and
+    within 1 f32 ulp in f32 (XLA rewrites the divide-by-std differently
+    inside vs outside the kernel)."""
+    from segtpu.engine.inference import _normalize_s2d_chw, _stage_u8
+    from segtpu.kernels.front import normalize_s2d_front
+    img = (np.random.RandomState(3).rand(2, 32, 256, 3) * 255).astype(
+        np.uint8)
+    blocked = jnp.asarray(_stage_u8(img)[0])
+    for dt, exact in ((jnp.float32, False), (jnp.bfloat16, True)):
+        want = np.asarray(_normalize_s2d_chw(jnp.asarray(img), dt,
+                                             hw=(32, 256))
+                          .astype(jnp.float32))
+        got = np.asarray(normalize_s2d_front(blocked, hw=(32, 256),
+                                             out_dtype=dt, interpret=True)
+                         .astype(jnp.float32)).reshape(want.shape)
+        if exact:
+            np.testing.assert_array_equal(got, want)
+        else:
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_row_flat_input_form_matches_4d(arch1_model):
     """build_infer_fn accepts the production ROW-FLAT [N,H,W*3] uint8
     form (what Segmenter.predict ships to avoid the 4-D parameter's
