@@ -130,7 +130,8 @@ def build_flat_tail(b, h, w, k, cin, grid_hw, tile_h=512):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(jnp.asarray(h_starts), jnp.asarray(ah, jnp.bfloat16),
-          jnp.asarray(awt, jnp.bfloat16), wclf, bclf, feat_flat)
+          jnp.asarray(awt, jnp.bfloat16), wclf, bclf,
+          *[feat_flat] * n_views)
 
     return tail, (wclf, bclf)
 

@@ -56,6 +56,10 @@ def _front_kernel(pe_ref, po_ref, x_ref, out_ref, *, rows: int,
     for c in range(12):
         src = xe if c < 6 else xo
         pm = pe_ref if c < 6 else po_ref
+        # (the permutation matrix is block-diagonal, but splitting into
+        # two K=384 dots with 64-lane outputs REGRESSED 3.4x on v5e —
+        # the sub-128-lane concat lowers to per-vreg shuffles; keep the
+        # single K=768 dot)
         yc = jax.lax.dot_general(
             src, pm[c % 6], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
