@@ -334,20 +334,37 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
             build = (build_fast_decoder
                      if infer_family(genotype).name == "micro"
                      else build_fast_template_decoder)
+            # flat tail: decoder logits stay in the kernels' flat
+            # (C-sublane, px-lane) layout and feed the W-first
+            # upsample+argmax kernel retile-free (the 4-D interface
+            # forced a 0.288 ms (C,px)->(h,w) copy per b8 dispatch);
+            # needs a 128-divisible decoder width
+            flat_tail = (wp // 4) % 128 == 0
             dec = build(genotype, params["decoder"], stats["decoder"],
                         align_corners=align_corners,
                         taps_channel_first=taps_cf,
+                        flat_logits=flat_tail,
                         interpret=pallas_interpret)
-            logits_cf = dec(taps)
-            out = upsample_argmax(
-                logits_cf, (hp, wp), crop_hw=(h, w),
-                align_corners=align_corners, channel_first=True,
-                # small tiles in interpret mode (CPU tests on tiny maps);
-                # 512-row tiles on TPU for tall outputs (swept: 2.26 ->
-                # 2.02 ms per b8 dispatch at 1024x2048)
-                tile_h=32 if pallas_interpret else
-                (512 if h >= 512 else 128),
-                interpret=pallas_interpret)
+            if flat_tail:
+                from segtpu.kernels.upsample_argmax import \
+                    upsample_argmax_flat
+                logits_flat, dec_hw = dec(taps)
+                out = upsample_argmax_flat(
+                    logits_flat, dec_hw, (hp, wp), crop_hw=(h, w),
+                    align_corners=align_corners,
+                    tile_r=8 if pallas_interpret else 64,
+                    interpret=pallas_interpret)
+            else:
+                logits_cf = dec(taps)
+                out = upsample_argmax(
+                    logits_cf, (hp, wp), crop_hw=(h, w),
+                    align_corners=align_corners, channel_first=True,
+                    # small tiles in interpret mode (CPU tests on tiny
+                    # maps); 512-row tiles on TPU for tall outputs
+                    # (swept: 2.26 -> 2.02 ms per b8 dispatch)
+                    tile_h=32 if pallas_interpret else
+                    (512 if h >= 512 else 128),
+                    interpret=pallas_interpret)
             return out if img_u8.ndim == nd_batched else out[0]
         x, fmt = _prep_nhwc(img)
         logits, _, _ = segmenter_apply(genotype, params, stats, x,
@@ -429,15 +446,29 @@ def build_sharded_pallas_infer(genotype, *, num_classes: int,
         build = (build_fast_decoder
                  if infer_family(genotype).name == "micro"
                  else build_fast_template_decoder)
+        # same flat-tail eligibility rule as build_infer_fn: the
+        # replicated tail computes the full grid either way, so the
+        # retile saving applies per shard
+        flat_tail = (wp // 4) % 128 == 0
         dec = build(genotype, params["decoder"], stats["decoder"],
                     align_corners=align_corners, taps_channel_first=True,
-                    interpret=pallas_interpret)
-        logits_cf = dec(taps)
-        full = upsample_argmax(
-            logits_cf, (h, w), crop_hw=(h, w),
-            align_corners=align_corners, channel_first=True,
-            tile_h=32 if pallas_interpret else (512 if h >= 512 else 128),
-            interpret=pallas_interpret)
+                    flat_logits=flat_tail, interpret=pallas_interpret)
+        if flat_tail:
+            from segtpu.kernels.upsample_argmax import upsample_argmax_flat
+            logits_flat, dec_hw = dec(taps)
+            full = upsample_argmax_flat(
+                logits_flat, dec_hw, (h, w), crop_hw=(h, w),
+                align_corners=align_corners,
+                tile_r=8 if pallas_interpret else 64,
+                interpret=pallas_interpret)
+        else:
+            logits_cf = dec(taps)
+            full = upsample_argmax(
+                logits_cf, (h, w), crop_hw=(h, w),
+                align_corners=align_corners, channel_first=True,
+                tile_h=32 if pallas_interpret else (512 if h >= 512 else
+                                                    128),
+                interpret=pallas_interpret)
         idx = jax.lax.axis_index(axis_name)
         return jax.lax.dynamic_slice_in_dim(
             full, idx * (h // n_shards), h // n_shards, axis=1)

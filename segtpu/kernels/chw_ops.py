@@ -369,13 +369,18 @@ def _lane_round(rows: int, w: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "dilation", "depthwise",
-                                             "relu", "interpret"))
+                                             "relu", "flat_out",
+                                             "interpret"))
 def conv_chw(x, w_folded, bias, acc=None, *, k: int, dilation: int = 1,
              depthwise: bool = False, relu: bool = True,
-             interpret: bool = False):
+             flat_out: bool = False, interpret: bool = False):
     """x [B, C, H, W]; w_folded HWIO (BN pre-folded) -> [B, Cout, H, W].
     acc: optional [B, Cout, H, W] summed into the activated result
-    in-kernel (fused branch add)."""
+    in-kernel (fused branch add). flat_out: return the kernel's NATIVE
+    flat [B, Cout, H*W] (C-sublane, px-lane) layout — consumers like
+    kernels.upsample_argmax.upsample_argmax_flat read it with no
+    (C,px)->(h,w) retile (0.288 ms/b8-dispatch at 8x19x256x512 in the
+    round-3 trace)."""
     b, c, h, w = x.shape
     if depthwise:
         wm = jnp.transpose(w_folded, (0, 1, 3, 2)).reshape(k * k, c, 1)
@@ -415,7 +420,8 @@ def conv_chw(x, w_folded, bias, acc=None, *, k: int, dilation: int = 1,
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(wm, bias.reshape(c_out, 1), xf, *acc_ops)
-        return out.reshape(b, c_out, hp, w)[:, :, :h]
+        return (out[:, :, :h * w] if flat_out else
+                out.reshape(b, c_out, hp, w)[:, :, :h])
     taps_l = _taps(k, dilation, h, w)
     dmax_dy = max((abs(dy) for _, dy, _ in taps_l), default=0)
     halo_rows = _halo_rows(rows, w, min(dmax_dy + 1, rows))
@@ -449,7 +455,8 @@ def conv_chw(x, w_folded, bias, acc=None, *, k: int, dilation: int = 1,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(wm, bias.reshape(c_out, 1), xf, xf, xf, *acc_ops)
-    return out.reshape(b, c_out, hp, w)[:, :, :h]
+    return (out[:, :, :h * w] if flat_out else
+            out.reshape(b, c_out, hp, w)[:, :, :h])
 
 
 @functools.partial(jax.jit, static_argnames=("k", "dilation", "interpret"))

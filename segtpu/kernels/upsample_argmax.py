@@ -32,6 +32,7 @@ Layout notes (pallas_guide.md):
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -217,3 +218,176 @@ def upsample_argmax(logits, out_hw, *, crop_hw=None,
       *[x] * n_views)
     out = out[:, :h_out, :w_out]
     return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Flat-layout tail: consumes the (C-sublane, px-lane) FLAT logits the
+# chw_ops kernels exchange, so the classifier conv feeds it with NO
+# (C,px)->(h,w) relayout (a 0.288 ms/b8-dispatch copy at 8x19x256x512
+# in the round-3 trace). W-FIRST decomposition: the W-interp runs at
+# INPUT rows (scale_h x fewer rows than the output) as banded MXU dots
+# over row groups stacked along sublanes; each OUT row is then a 2-tap
+# H-interp FMA reading its two widened rows with ONE aligned dynamic
+# load from VMEM scratch, followed by the class argmax (min-index-of-
+# max, ties toward the lower class like jnp.argmax).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_flat(sb_ref, jidx_ref, wgt_ref, awt_ref, *refs, R: int,
+                 n_views: int, vrows: int, w: int, owp: int, kc: int,
+                 kp: int, wc_starts, band_w: int, bf16_ops: bool):
+    """Grid step (b, t): out rows [t*R, (t+1)*R).
+
+    sb_ref   : [n_tiles] i32 view-block starts (scalar prefetch)
+    jidx_ref : [n_tiles, R] i32 per-out-row LOW-tap row group (scalar
+               prefetch), relative to the tile's view window
+    wgt_ref  : [1, Rp, 128] f32 — lanes 0/1 = the 2 H-interp tap weights
+    awt_ref  : [n_w, band_w, 128] W-interp bands, transposed
+    refs     : n_views input-row-block views (1, kc, vrows*w), then
+               out_ref (1, R, owp) u8 and z scratch [Scap*kp, owp] f32
+    """
+    t = pl.program_id(1)
+    out_ref, z_ref = refs[n_views], refs[n_views + 1]
+
+    # stage 1: W-widen every view row once, row groups stacked along
+    # sublanes (classes padded kc -> kp so groups stay 8-aligned)
+    rows = []
+    for j in range(n_views):
+        vb = refs[j][0]                                  # [kc, vrows*w]
+        for i in range(vrows):
+            xr = jax.lax.slice_in_dim(vb, i * w, (i + 1) * w, axis=1)
+            if kp > kc:
+                xr = jnp.concatenate(
+                    [xr, jnp.zeros((kp - kc, w), xr.dtype)], axis=0)
+            rows.append(xr)
+    y = jnp.concatenate(rows, axis=0)                    # [Scap*kp, w]
+    y = y if bf16_ops else y.astype(jnp.float32)
+    cols = []
+    for wj, c0 in enumerate(wc_starts):                  # static unroll
+        cols.append(jax.lax.dot_general(
+            y[:, c0:c0 + band_w], awt_ref[wj], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    z_ref[:] = jnp.concatenate(cols, axis=1)             # [Scap*kp, owp]
+
+    # stage 2: 2-tap H-interp + class argmax per out row
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (kp, owp), 0)
+    outs = []
+    for r in range(R):
+        j = jidx_ref[t, r]
+        a = z_ref[pl.ds(pl.multiple_of(j * kp, 8), 2 * kp), :]  # [2*kp, owp]
+        yr = (a[:kp] * wgt_ref[0, r, 0] + a[kp:] * wgt_ref[0, r, 1])
+        yrm = jnp.where(iota_c < kc, yr, -jnp.inf)
+        m = jnp.max(yrm, axis=0, keepdims=True)
+        outs.append(jnp.min(jnp.where(yrm >= m, iota_c, kp + 255),
+                            axis=0, keepdims=True))
+    out_ref[0] = jnp.concatenate(outs, axis=0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("in_hw", "out_hw", "crop_hw",
+                                             "align_corners", "tile_r",
+                                             "interpret"))
+def upsample_argmax_flat(logits_flat, in_hw, out_hw, *, crop_hw=None,
+                         align_corners: bool = True, tile_r: int = 64,
+                         interpret: bool = False):
+    """[B, K, h*w] flat channel-first logits -> [B, H, W] uint8.
+
+    Bit-equal to ``upsample_argmax(logits.reshape(B,K,h,w), out_hw,
+    crop_hw, channel_first=True)`` up to f32-associativity of the
+    2-tap H sum (same interp matrices, f32 accumulation). Requires
+    w % 128 == 0 (flat lane blocks); callers fall back to the 4-D
+    kernel otherwise. tile_r: out rows per grid step."""
+    b, kc, hw = logits_flat.shape
+    h, w = int(in_hw[0]), int(in_hw[1])
+    assert h * w == hw and w % 128 == 0, (in_hw, hw)
+    grid_h, grid_w = int(out_hw[0]), int(out_hw[1])
+    assert grid_h >= h and grid_w >= w
+    h_out, w_out = (int(crop_hw[0]), int(crop_hw[1])) if crop_hw else \
+        (grid_h, grid_w)
+
+    owp = _round_up(w_out, 128)
+    n_w = owp // 128
+    band_w = min(w, _round_up(-(-128 * w) // grid_w + 2, 8))
+    aw_full = np.zeros((owp, w), np.float32)
+    aw_full[:w_out] = _interp_matrix(w, grid_w, align_corners)[:w_out]
+    awb, w_starts = _banded(aw_full, n_w, 128, band_w)
+    awt = np.transpose(awb, (0, 2, 1))                 # [n_w, band_w, 128]
+
+    R = min(tile_r, _round_up(h_out, 8))
+    ohp = _round_up(h_out, R)
+    n_t = ohp // R
+    kp = _round_up(kc, 8)
+    vrows = 128 // math.gcd(w, 128)
+    vrows *= max(1, (4096 // w) // vrows) if w <= 4096 else 1
+
+    ah = _interp_matrix(h, grid_h, align_corners)      # [grid_h, h] 2nnz
+    lo = np.zeros((ohp,), np.int64)
+    w01 = np.zeros((ohp, 2), np.float32)
+    for r in range(h_out):
+        nz = np.nonzero(ah[r])[0]
+        lo[r] = int(nz[0])
+        w01[r, 0] = ah[r, lo[r]]
+        if lo[r] + 1 < h:
+            w01[r, 1] = ah[r, lo[r] + 1]
+    starts = np.zeros((n_t,), np.int32)
+    span = 0
+    for t in range(n_t):
+        s = (int(lo[t * R:(t + 1) * R].min()) // vrows) * vrows
+        starts[t] = s // vrows                          # block index
+        span = max(span, int(lo[t * R:(t + 1) * R].max()) - s + 2)
+    n_views = -(-span // vrows)
+    scap = n_views * vrows
+    jidx = np.zeros((n_t, R), np.int32)
+    for t in range(n_t):
+        # pad rows (r >= h_out) carry lo=0, which can fall below the
+        # tile's window — clamp into the scratch (their weights are 0,
+        # the loaded values never contribute)
+        jidx[t] = np.clip(lo[t * R:(t + 1) * R] - starts[t] * vrows,
+                          0, scap - 2)
+    rp = _round_up(R, 8)
+    wgt = np.zeros((n_t, rp, 128), np.float32)
+    wgt[:, :R, 0:2] = w01.reshape(n_t, R, 2)
+
+    xf = logits_flat
+    hp_in = _round_up(h, vrows)
+    if hp_in != h:
+        xf = jnp.concatenate(
+            [xf, jnp.zeros((b, kc, (hp_in - h) * w), xf.dtype)], axis=2)
+    max_blk = hp_in // vrows - 1
+
+    def view_spec(j):
+        return pl.BlockSpec(
+            (1, kc, vrows * w),
+            lambda bi, t, sb, ji, j=j: (bi, 0,
+                                        jnp.minimum(sb[t] + j, max_blk)),
+            memory_space=pltpu.VMEM)
+
+    bf16_ops = xf.dtype == jnp.bfloat16
+    out = pl.pallas_call(
+        functools.partial(_kernel_flat, R=R, n_views=n_views, vrows=vrows,
+                          w=w, owp=owp, kc=kc, kp=kp,
+                          wc_starts=tuple(int(s) for s in w_starts),
+                          band_w=band_w, bf16_ops=bf16_ops),
+        out_shape=jax.ShapeDtypeStruct((b, ohp, owp), jnp.uint8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, n_t),
+            in_specs=[
+                pl.BlockSpec((1, rp, 128), lambda bi, t, sb, ji: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_w, band_w, 128),
+                             lambda bi, t, sb, ji: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *[view_spec(j) for j in range(n_views)],
+            ],
+            out_specs=pl.BlockSpec((1, R, owp),
+                                   lambda bi, t, sb, ji: (bi, t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((scap * kp, owp), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(starts), jnp.asarray(jidx), jnp.asarray(wgt),
+      jnp.asarray(awt, dtype=jnp.bfloat16 if bf16_ops else jnp.float32),
+      *[xf] * n_views)
+    return out[:, :h_out, :w_out]

@@ -111,12 +111,17 @@ class _Op:
 
 def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
                        taps_channel_first: bool = False,
+                       flat_logits: bool = False,
                        interpret: bool = False):
     """-> apply(taps) giving channel-first logits [B, K, h, w].
 
     Folds all BN at build time; taps enter NHWC (straight from the
     reference encoder, transposed once) or already channel-first from
     models.fast_encoder (taps_channel_first=True, transpose-free).
+
+    flat_logits: apply(taps) returns ``(flat [B, K, h*w], (h, w))``
+    instead — the classifier conv's native flat layout, feeding
+    kernels.upsample_argmax.upsample_argmax_flat retile-free.
     """
     validate_genotype(genotype, num_inputs=len(params["adapt"]))
     cell_config, conns = genotype
@@ -181,6 +186,9 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
             [_resize_chw(pool[i], hw, align_corners, interpret=interpret)
              for i in collect],
             axis=1)
+        if flat_logits:
+            return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
+                            flat_out=True, interpret=interpret), hw
         return pw(feats, clf_w, clf_b, relu=False)
 
     return apply
@@ -189,6 +197,7 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
 def build_fast_template_decoder(genotype, params, stats, *,
                                 align_corners: bool = True,
                                 taps_channel_first: bool = False,
+                                flat_logits: bool = False,
                                 interpret: bool = False):
     """WACV template decoder on the CHW Pallas ops (eval fast path);
     mirrors template_decoders.template_decoder_apply."""
@@ -244,6 +253,9 @@ def build_fast_template_decoder(genotype, params, stats, *,
             [_resize_chw(pool[i], hw, align_corners, interpret=interpret)
              for i in collect],
             axis=1)
+        if flat_logits:
+            return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
+                            flat_out=True, interpret=interpret), hw
         return pw(feats, clf_w, clf_b, relu=False)
 
     return apply

@@ -221,3 +221,22 @@ def test_row_flat_input_form_matches_4d(arch1_model):
     assert squeeze1
     gotb1 = np.asarray(fn(params, stats, jnp.asarray(staged1)))
     np.testing.assert_array_equal(gotb1[0], want[0])
+
+
+@pytest.mark.slow
+def test_engine_flat_tail_matches_xla_path(arch1_model):
+    """512-wide input -> decoder width 128 % 128 == 0, so the engine
+    takes the FLAT-tail path (conv_chw flat_out -> upsample_argmax_flat,
+    no (C,px)->(h,w) retile). Mask-level parity vs the XLA path."""
+    genotype, params, stats = arch1_model
+    img = (np.random.RandomState(11).rand(1, 64, 512, 3) * 255).astype(
+        np.uint8)
+    ref_fn = build_infer_fn(genotype, num_classes=7, input_hw=(64, 512),
+                            compute_dtype=jnp.float32, use_pallas=False)
+    fast_fn = build_infer_fn(genotype, num_classes=7, input_hw=(64, 512),
+                             compute_dtype=jnp.float32, use_pallas=True,
+                             pallas_interpret=True)
+    want = np.asarray(ref_fn(params, stats, jnp.asarray(img)))
+    got = np.asarray(fast_fn(params, stats, jnp.asarray(img)))
+    assert got.shape == want.shape == (1, 64, 512)
+    assert (got == want).mean() > 0.999  # identical up to fp ties

@@ -69,3 +69,44 @@ def test_upsample_argmax_crop_matches_up_then_crop():
     want = _ref(logits, (96, 120), True)[:, :70, :100]
     assert got.shape == (1, 70, 100)
     assert (np.asarray(got) == np.asarray(want)).mean() > 0.999
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize("shape,out_hw,crop_hw", [
+    ((2, 19, 32, 128), (128, 512), None),    # 4x, CityScapes-like
+    ((1, 5, 16, 256), (64, 1024), None),     # small class count
+    ((1, 7, 24, 128), (96, 512), (70, 300)), # crop + odd rows
+])
+def test_upsample_argmax_flat_matches_4d(align_corners, shape, out_hw,
+                                         crop_hw):
+    """The flat-layout W-first tail must agree with the 4-D kernel and
+    the XLA reference (same interp matrices, f32 accumulation; bf16
+    checked at the production operand dtype)."""
+    from segtpu.kernels.upsample_argmax import upsample_argmax_flat
+    b, kc, h, w = shape
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(b, kc, h, w).astype(np.float32))
+    flat = logits.reshape(b, kc, h * w)
+    got = np.asarray(upsample_argmax_flat(
+        flat, (h, w), out_hw, crop_hw=crop_hw,
+        align_corners=align_corners, tile_r=8, interpret=True))
+    want = np.asarray(upsample_argmax(
+        logits, out_hw, crop_hw=crop_hw, align_corners=align_corners,
+        channel_first=True, tile_h=32, interpret=True))
+    assert got.shape == want.shape
+    frac = (got != want).mean()
+    assert frac < 1e-3, f"f32 flat-vs-4d mismatch fraction {frac}"
+    ref = _ref(jnp.transpose(logits, (0, 2, 3, 1)), out_hw, align_corners)
+    ref = np.asarray(ref)[:, :got.shape[1], :got.shape[2]]
+    frac_ref = (got != ref).mean()
+    assert frac_ref < 1e-3, f"f32 flat-vs-xla mismatch fraction {frac_ref}"
+
+    got_bf = np.asarray(upsample_argmax_flat(
+        flat.astype(jnp.bfloat16), (h, w), out_hw, crop_hw=crop_hw,
+        align_corners=align_corners, tile_r=8, interpret=True))
+    want_bf = np.asarray(upsample_argmax(
+        logits.astype(jnp.bfloat16), out_hw, crop_hw=crop_hw,
+        align_corners=align_corners, channel_first=True, tile_h=32,
+        interpret=True))
+    frac_bf = (got_bf != want_bf).mean()
+    assert frac_bf < 8e-3, f"bf16 flat-vs-4d mismatch fraction {frac_bf}"
