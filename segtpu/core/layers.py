@@ -140,7 +140,13 @@ def bn_apply(params: Params, stats: Stats, x, *, train: bool) -> Tuple[jnp.ndarr
     if train:
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(xf, axis=axes)
-        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+        # two-pass variance (torch semantics), NOT E[x^2]-E[x]^2: the
+        # cancelling form loses most of its bits whenever mean^2 >> var,
+        # and the loss through rsqrt then visibly depends on XLA's
+        # reduction order — the same population forward differed ~10%
+        # between the sharded and unsharded compilations of one program
+        # before this fix
+        var = jnp.mean(jnp.square(xf - mean), axis=axes)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {

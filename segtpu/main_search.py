@@ -63,6 +63,10 @@ def _add_search_flags(p: argparse.ArgumentParser):
     p.add_argument("--supernet", type=int, default=0, metavar="K",
                    help="vectorized population search: K archs per round "
                         "in one compiled program (segtpu.supernet)")
+    p.add_argument("--pop-devices", type=int, default=0, metavar="D",
+                   help="with --supernet: shard the K population samples "
+                        "over D devices (K %% D == 0; zero step "
+                        "collectives — parallel.mesh.shard_population)")
     p.add_argument("--fleet", action="store_true",
                    help="per-device fleet search (one genotype per device)")
     p.add_argument("--seed", type=int, default=defaults.seed)
@@ -86,7 +90,12 @@ def cmd_search(args):
     cfg = _cfg_from_args(args)
     if getattr(args, "supernet", 0):
         from segtpu.supernet import run_supernet_search
-        saver = run_supernet_search(cfg, population=args.supernet)
+        mesh = None
+        if getattr(args, "pop_devices", 0):
+            from segtpu.parallel.mesh import make_mesh
+            mesh = make_mesh(args.pop_devices, 1)
+        saver = run_supernet_search(cfg, population=args.supernet,
+                                    mesh=mesh)
     elif getattr(args, "fleet", False):
         from segtpu.parallel.fleet import run_fleet_search
         saver = run_fleet_search(cfg)

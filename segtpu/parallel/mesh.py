@@ -22,6 +22,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from segtpu.engine.trainer import TrainState
@@ -198,6 +199,79 @@ def make_sharded_pallas_infer_fn(genotype, mesh: Mesh, *, num_classes: int,
         return mapped(params, stats, img_u8)
 
     return run
+
+
+def shard_population(mesh: Mesh, pop, masks):
+    """Place a supernet population (supernet.PopState + its mask pytree)
+    with every array leaf's leading K axis sharded over 'data'; 0-d
+    leaves (the shared step counter) replicate. K must be divisible by
+    the 'data' axis size.
+
+    Placement only — run the placed population through
+    make_sharded_population_step / make_sharded_population_eval
+    (manual-SPMD shard_map), NOT through the plain jitted step: letting
+    the GSPMD partitioner split the K axis of the vmapped supernet
+    SILENTLY CORRUPTS the results on jax 0.9.0 — a vmapped 1x1 VALID
+    conv whose input AND kernel both carry the sharded vmap dim (a
+    batch-grouped conv with both operands partitioned on the group dim)
+    computes wrong values (max|diff| ~1.3x the output scale on the CPU
+    backend; 3x3 SAME lowers differently and is exact). Minimal repro
+    in DESIGN.md 'negative results'.
+
+    Reference scaling story (SURVEY §5.7/§3.1): the upstream searches
+    ~1000 archs sequentially per GPU; here one compiled program trains
+    the whole population and the mesh multiplies it.
+    """
+    k_s = NamedSharding(mesh, P("data"))
+    rep = _replicated(mesh)
+    data = mesh.shape["data"]
+
+    def put(x):
+        x = jnp.asarray(x) if not hasattr(x, "ndim") else x
+        if x.ndim == 0:
+            return jax.device_put(x, rep)
+        if x.shape[0] % data:
+            raise ValueError(
+                f"population {x.shape[0]} not divisible by data={data}")
+        return jax.device_put(x, k_s)
+
+    return (jax.tree_util.tree_map(put, pop),
+            jax.tree_util.tree_map(put, masks))
+
+
+def _pop_specs(pop_cls):
+    """PopState-shaped PartitionSpec prefix: K-leaved fields over
+    'data', the shared step counter replicated."""
+    k, r = P("data"), P()
+    return pop_cls(params=k, stats=k, opt_state=k, polyak=k, step=r)
+
+
+def make_sharded_population_step(step_fn, mesh: Mesh):
+    """Manual-SPMD population train step: each device runs the vanilla
+    vmapped step (make_population_train_step) on its K/data slice —
+    zero collectives, and no GSPMD partitioning of the vmapped convs
+    (see shard_population: the partitioner corrupts them on jax 0.9.0).
+    step_fn(pop, masks, batch) -> (pop, losses [K])."""
+    from jax import shard_map
+    from segtpu.supernet import PopState
+    pspec = _pop_specs(PopState)
+    mapped = jax.jit(shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(pspec, P("data"), P()),
+        out_specs=(pspec, P("data")),
+        check_vma=False))
+    return mapped
+
+
+def make_sharded_population_eval(eval_fn, mesh: Mesh):
+    """Manual-SPMD population eval: eval_fn(params, stats, masks, batch)
+    -> per-sample confusion matrices [K, C, C]; K splits over 'data'."""
+    from jax import shard_map
+    return jax.jit(shard_map(
+        eval_fn, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P()),
+        out_specs=P("data"),
+        check_vma=False))
 
 
 def make_sharded_eval_step(eval_step, mesh: Mesh):

@@ -361,11 +361,15 @@ def population_init(key, spec: SupernetSpec, inp_sizes, optimizer, k: int,
 
 
 def run_supernet_search(cfg, *, population: int = 8, dataset=None,
-                        enc_params=None, enc_stats=None):
+                        enc_params=None, enc_stats=None, mesh=None):
     """NAS search with the vectorized population trainer. One compile at
     the first round; every later round reuses it (no per-genotype XLA
     compiles — the answer to SURVEY.md §7.3 item 4). Reward = stage-1
     proxy mIoU on cached encoder features (no stage-2 in this mode).
+
+    ``mesh``: optional jax.sharding.Mesh — the population's K axis is
+    sharded over its 'data' axis (parallel.mesh.shard_population), so a
+    pod slice trains K/data samples per chip with zero step collectives.
     Returns the SearchSaver."""
     import logging
     import time
@@ -422,6 +426,15 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
                                             aux_weight=cfg.dec_aux_weight,
                                             family=family)
     eval_step = make_population_eval_step(spec, family=family)
+    if mesh is not None:
+        # manual SPMD (shard_map): K/data samples per device, zero step
+        # collectives. NOT plain jit over sharded inputs — the GSPMD
+        # partitioner silently corrupts the vmapped per-sample convs
+        # (parallel.mesh.shard_population docstring).
+        from segtpu.parallel.mesh import (make_sharded_population_step,
+                                          make_sharded_population_eval)
+        train_step = make_sharded_population_step(train_step, mesh)
+        eval_step = make_sharded_population_eval(eval_step, mesh)
     saver = SearchSaver(cfg.snapshot_dir)
 
     mask_fn = (masks_from_actions if family == "micro"
@@ -441,6 +454,9 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
         pop = population_init(jax.random.fold_in(k_pop, rnd), spec,
                               MBV2_TAP_CHANNELS, optimizer, population,
                               family=family, do_polyak=cfg.do_polyak)
+        if mesh is not None:
+            from segtpu.parallel.mesh import shard_population
+            pop, masks = shard_population(mesh, pop, masks)
         for _ in range(cfg.num_epochs[0]):
             for batch in cached_train:
                 pop, losses = train_step(pop, masks, batch)

@@ -8,6 +8,7 @@ from segtpu import main_search
 @pytest.mark.parametrize("argv,fn_name", [
     (["search", "--synthetic", "--num-iters", "1"], "cmd_search"),
     (["search", "--supernet", "4", "--ctrl-version", "wacv"], "cmd_search"),
+    (["search", "--supernet", "8", "--pop-devices", "4"], "cmd_search"),
     (["search", "--fleet", "--ctrl-algo", "reinforce"], "cmd_search"),
     (["train", "--synthetic", "--num-epochs", "1"], "cmd_train"),
     (["eval", "--data-root", "d", "--val-list", "v.lst"], "cmd_eval"),

@@ -128,28 +128,32 @@ def test_space_sharded_inference_matches_single_device(setup):
 
 
 @pytest.mark.slow
-def test_space_sharded_inference_pallas_path(setup):
+@pytest.mark.parametrize("hw", [(64, 64),   # 4-D tail (w/4 % 128 != 0)
+                                (64, 512)])  # flat tail (w/4 = 128)
+def test_space_sharded_inference_pallas_path(setup, hw):
     """VERDICT r2 next#3: the PRODUCTION Pallas CHW engine space-sharded
     (H over 'space') via manual-SPMD shard_map — per-block ppermute halo
     exchange in the encoder (overlap-discard), taps all-gathered for the
     (possibly global — GAP cells) decoder, per-shard tail slices. Masks
     must be bit-equal to the single-device Pallas program: the halo rows
     are the exact neighbour values the unsharded conv reads, and mesh-end
-    ppermute zeros are exactly its SAME-padding zeros."""
+    ppermute zeros are exactly its SAME-padding zeros. Covers both tail
+    variants (flat when the decoder width is 128-divisible)."""
     from segtpu.engine.inference import build_infer_fn
     from segtpu.parallel.mesh import make_sharded_pallas_infer_fn
     genotype, state, _ = setup
-    infer = build_infer_fn(genotype, num_classes=5, input_hw=(64, 64),
+    infer = build_infer_fn(genotype, num_classes=5, input_hw=hw,
                            use_pallas=True, pallas_interpret=True)
     mesh = make_mesh(1, 2)
     sharded = make_sharded_pallas_infer_fn(
-        genotype, mesh, num_classes=5, input_hw=(64, 64),
+        genotype, mesh, num_classes=5, input_hw=hw,
         pallas_interpret=True)
     rng = np.random.RandomState(6)
-    imgs = jnp.asarray(rng.randint(0, 256, (1, 64, 64, 3), dtype=np.uint8))
+    imgs = jnp.asarray(rng.randint(0, 256, (1,) + hw + (3,),
+                                   dtype=np.uint8))
     want = np.asarray(jax.jit(infer)(state.params, state.stats, imgs))
     got = np.asarray(sharded(state.params, state.stats, imgs))
-    assert got.shape == (1, 64, 64) and got.dtype == np.uint8
+    assert got.shape == (1,) + hw and got.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
 
 
@@ -175,3 +179,74 @@ def test_data_sharded_inference_pallas_path(setup):
     got = np.asarray(sharded(state.params, state.stats, imgs))
     assert got.shape == (8, 64, 64) and got.dtype == np.uint8
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_population_sharded_supernet_step_matches_single_device():
+    """Supernet population parallelism (SURVEY §3.1 scaling story): the
+    K-vmapped population train/eval step with the K axis sharded over
+    the mesh 'data' axis must agree numerically with the unsharded step
+    — each device trains K/data independent samples, zero collectives.
+    Manual SPMD (shard_map) by necessity: plain jit over the sharded
+    inputs lets GSPMD partition the vmapped per-sample convs, which
+    SILENTLY corrupts them on jax 0.9.0 (a vmapped 1x1 VALID conv with
+    input and kernel both carrying the sharded vmap dim computes values
+    off by ~the output scale; see shard_population docstring)."""
+    import optax
+    from segtpu.models.encoders import MBV2_TAP_CHANNELS
+    from segtpu.parallel.mesh import (shard_population,
+                                      make_sharded_population_step,
+                                      make_sharded_population_eval)
+    from segtpu.rl.controller import (MicroControllerSpec, controller_init,
+                                      sample)
+    from segtpu.supernet import (SupernetSpec, masks_from_actions,
+                                 population_init,
+                                 make_population_train_step,
+                                 make_population_eval_step)
+
+    spec = SupernetSpec(num_classes=4, agg_size=16)
+    opt = optax.sgd(0.05, momentum=0.9)
+    k = 8
+    cspec = MicroControllerSpec()
+    cp = controller_init(jax.random.PRNGKey(1), cspec)
+    acts = jnp.stack([sample(cp, cspec, jax.random.PRNGKey(i))[0]
+                      for i in range(k)])
+    masks = jax.vmap(lambda a: masks_from_actions(a, spec))(acts)
+    rng = np.random.RandomState(0)
+    batch = {
+        "taps": [jnp.asarray(rng.randn(2, 16 // s, 16 // s, c), jnp.float32)
+                 for s, c in zip((1, 2, 4, 8), MBV2_TAP_CHANNELS)],
+        "label": jnp.asarray(rng.randint(0, 4, size=(2, 64, 64)), jnp.int32),
+    }
+    step = make_population_train_step(spec, opt)
+    ev = make_population_eval_step(spec)
+
+    def run(pop, masks, step_fn, ev_fn):
+        for _ in range(2):
+            pop, losses = step_fn(pop, masks, batch)
+        cms = ev_fn(pop.params, pop.stats, masks, batch)
+        return np.asarray(losses), np.asarray(cms)
+
+    pop0 = population_init(jax.random.PRNGKey(0), spec, MBV2_TAP_CHANNELS,
+                           opt, k)
+    want_losses, want_cms = run(pop0, masks, step, ev)
+
+    mesh = make_mesh(4, 2)
+    pop_s, masks_s = shard_population(mesh, pop0, masks)
+    got_losses, got_cms = run(pop_s, masks_s,
+                              make_sharded_population_step(step, mesh),
+                              make_sharded_population_eval(ev, mesh))
+
+    # the sharded body compiles for K/data=2 samples, the unsharded for
+    # K=8 — different XLA programs, different reduction orders (measured
+    # max rel diff 2.8e-4 after 2 train steps on the CPU backend). The
+    # GSPMD corruption this test guards against was O(1) relative error,
+    # so a 2e-3 gate still catches it cleanly.
+    np.testing.assert_allclose(got_losses, want_losses, rtol=2e-3, atol=1e-5)
+    assert np.abs(got_cms.astype(np.int64) - want_cms.astype(np.int64)).sum() \
+        <= 0.002 * want_cms.sum()  # argmax ties under fp reorder
+
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_population(make_mesh(8, 1), pop0._replace(
+            params=jax.tree_util.tree_map(lambda x: x[:6], pop0.params)),
+            masks)
