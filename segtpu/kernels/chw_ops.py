@@ -181,23 +181,11 @@ def _pw_kernel(wm_ref, b_ref, *refs, relu, has_acc: bool):
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
-                 k: int, dilation: int, depthwise: bool, h: int, w: int,
-                 tile_p: int, halo_px: int, relu, im2col: bool = False,
-                 has_acc: bool = False, center_valid: bool = True):
-    out_ref = refs[-1]
-    ti = pl.program_id(1)
-    row0 = ti * (tile_p // w)
-    taps = _taps(k, dilation, h, w)
-    # depthwise taps convert to f32 ONCE here (per-tap converts dominate
-    # at 25 taps); dense dots keep the native dtype — bf16 operands with
-    # f32 accumulation run the MXU at full rate (f32 operands quarter
-    # it) and match the XLA conv path's numerics
-    stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h,
-                          halo_px, center_valid,
-                          dtype=jnp.float32 if depthwise
-                          else x0_ref.dtype)
-
+def _conv_body(wm_ref, b_ref, stack, *, taps, depthwise: bool, w: int,
+               tile_p: int, halo_px: int, relu, im2col: bool):
+    """Post-stack compute of a dense/depthwise conv: tap loop (+ bias
+    + activation), returning the f32 result. Shared by _conv_kernel and
+    the fused pair kernel (_pair_kernel)."""
     if im2col and not depthwise:
         # small-C dense conv: per-tap dots have K = C (the stem's K=12
         # wastes ~90% of each MXU pass). Stack tap slices channel-wise
@@ -241,10 +229,48 @@ def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
                     wm_ref[j], xs, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
         acc = _dw_tap_sum(stack, taps, combine, tile_p, w, halo_px)
-    y = _act(acc + b_ref[:].astype(jnp.float32), relu)
+    return _act(acc + b_ref[:].astype(jnp.float32), relu)
+
+
+def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
+                 k: int, dilation: int, depthwise: bool, h: int, w: int,
+                 tile_p: int, halo_px: int, relu, im2col: bool = False,
+                 has_acc: bool = False, center_valid: bool = True):
+    out_ref = refs[-1]
+    ti = pl.program_id(1)
+    row0 = ti * (tile_p // w)
+    taps = _taps(k, dilation, h, w)
+    # depthwise taps convert to f32 ONCE here (per-tap converts dominate
+    # at 25 taps); dense dots keep the native dtype — bf16 operands with
+    # f32 accumulation run the MXU at full rate (f32 operands quarter
+    # it) and match the XLA conv path's numerics
+    stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h,
+                          halo_px, center_valid,
+                          dtype=jnp.float32 if depthwise
+                          else x0_ref.dtype)
+    y = _conv_body(wm_ref, b_ref, stack, taps=taps, depthwise=depthwise,
+                   w=w, tile_p=tile_p, halo_px=halo_px, relu=relu,
+                   im2col=im2col)
     if has_acc:
         y = y + refs[0][0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _sep_body(wdw_ref, bdw_ref, wpw_ref, bpw_ref, stack, *, taps,
+              w: int, tile_p: int, halo_px: int):
+    """Post-stack compute of a fused separable conv (dw + ReLU + pw +
+    ReLU), returning the f32 result. Shared by _sep_kernel and
+    _pair_kernel."""
+    acc = _dw_tap_sum(stack, taps,
+                      lambda j, xs: wdw_ref[j].astype(jnp.float32) * xs,
+                      tile_p, w, halo_px)
+    mid = jnp.maximum(acc + bdw_ref[:].astype(jnp.float32), 0.0)
+    # pw dot in native dtype (full-rate MXU; the XLA path also rounds
+    # the dw output to bf16 between ops)
+    y = jax.lax.dot_general(
+        wpw_ref[0], mid.astype(wpw_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.maximum(y + bpw_ref[:].astype(jnp.float32), 0.0)
 
 
 def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
@@ -257,19 +283,49 @@ def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
     taps = _taps(k, dilation, h, w)
     stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h,
                           halo_px, center_valid)
-    acc = _dw_tap_sum(stack, taps,
-                      lambda j, xs: wdw_ref[j].astype(jnp.float32) * xs,
-                      tile_p, w, halo_px)
-    mid = jnp.maximum(acc + bdw_ref[:].astype(jnp.float32), 0.0)
-    # pw dot in native dtype (full-rate MXU; the XLA path also rounds
-    # the dw output to bf16 between ops)
-    y = jax.lax.dot_general(
-        wpw_ref[0], mid.astype(wpw_ref.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    y = jnp.maximum(y + bpw_ref[:].astype(jnp.float32), 0.0)
+    y = _sep_body(wdw_ref, bdw_ref, wpw_ref, bpw_ref, stack, taps=taps,
+                  w=w, tile_p=tile_p, halo_px=halo_px)
     if has_acc:
         y = y + refs[0][0].astype(jnp.float32)
     out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _pair_kernel(*refs, specs, im2cols, h: int, w: int, tile_p: int,
+                 halo_pxs, center_valid: bool):
+    """Fused cell branch pair: act(op1(x1)) + act(op2(x2)) in ONE kernel
+    — the unfused form writes op1's activated output to HBM and reads it
+    back as op2's acc operand (one full [B,48,H,W] round trip per cell
+    node). specs: two ('conv'|'sep', k, dilation) descriptors; ref
+    order: op1 weights, op2 weights, op1 views (xm,x0,xp), op2 views,
+    out."""
+    out_ref = refs[-1]
+    ti = pl.program_id(1)
+    row0 = ti * (tile_p // w)
+    idx = 0
+    wrefs = []
+    for kind, _, _ in specs:
+        n = 4 if kind == "sep" else 2
+        wrefs.append(refs[idx:idx + n])
+        idx += n
+    total = None
+    for (kind, k, dil), wr, halo_px, im2 in zip(specs, wrefs, halo_pxs,
+                                                im2cols):
+        xm, x0, xp = refs[idx:idx + 3]
+        idx += 3
+        taps = _taps(k, dil, h, w)
+        if kind == "sep":
+            stack = _masked_stack(xm, x0, xp, row0, tile_p, w, h,
+                                  halo_px, center_valid)
+            y = _sep_body(*wr, stack, taps=taps, w=w, tile_p=tile_p,
+                          halo_px=halo_px)
+        else:
+            stack = _masked_stack(xm, x0, xp, row0, tile_p, w, h,
+                                  halo_px, center_valid, dtype=x0.dtype)
+            y = _conv_body(*wr, stack, taps=taps, depthwise=False, w=w,
+                           tile_p=tile_p, halo_px=halo_px, relu=True,
+                           im2col=im2)
+        total = y if total is None else total + y
+    out_ref[0] = total.astype(out_ref.dtype)
 
 
 def _x_specs(c, tile_p, n_tiles, w=None, halo_rows=None):
@@ -504,6 +560,91 @@ def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, acc=None, *, k: int,
         interpret=interpret,
     )(wdw, b_dw.reshape(c, 1), wpw, b_pw.reshape(c_out, 1), xf, xf, xf,
       *acc_ops)
+    return out.reshape(b, c_out, hp, w)[:, :, :h]
+
+
+@functools.partial(jax.jit, static_argnames=("op1", "op2", "interpret"))
+def pair_op_chw(x1, weights1, x2, weights2, *, op1, op2,
+                interpret: bool = False):
+    """Fused cell branch pair: ``act(op1(x1)) + act(op2(x2))`` in ONE
+    kernel. op = ('conv'|'sep', k, dilation); weights = (w_folded, bias)
+    for conv (k=1 covers pointwise) or (w_dw, b_dw, w_pw, b_pw) for sep,
+    BN pre-folded, ReLU per branch BEFORE the sum (the cell-node
+    semantics of fast_decoder: outs.append(opb(x2, acc=opa(x1)))).
+
+    Why: unfused, opa's kernel writes its activated output to HBM and
+    opb's kernel reads it back as the acc operand — a full [B,48,H,W]
+    round trip per cell node. Every op inside a cell runs at the SAME
+    hw, so one grid covers both; the row tile honours the larger halo.
+    Numerics: the branch sum happens in f32 (the unfused path rounds
+    opa's output to the activation dtype first) — at bf16 production
+    dtype the fused result is the more accurate of the two."""
+    b, c1, h, w = x1.shape
+    assert x2.shape[0] == b and x2.shape[2:] == (h, w), (x1.shape,
+                                                         x2.shape)
+    specs = (op1, op2)
+
+    def _prep(op, wts, c_in):
+        kind, k, dil = op
+        if kind == "sep":
+            w_dw, b_dw, w_pw, b_pw = wts
+            wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(k * k, c_in, 1)
+            co = w_pw.shape[3]
+            wpw = jnp.transpose(w_pw, (0, 1, 3, 2)).reshape(
+                1, co, c_in).astype(x1.dtype)
+            return [wdw, b_dw.reshape(c_in, 1), wpw,
+                    b_pw.reshape(co, 1)], co, False
+        w_f, bias = wts
+        co = w_f.shape[3]
+        taps_l = _taps(k, dil, h, w)
+        wm = jnp.transpose(w_f, (0, 1, 3, 2)).reshape(
+            k * k, co, c_in).astype(x1.dtype)
+        im2 = c_in * len(taps_l) <= 256 and w % 128 == 0
+        if im2:
+            order = [j for dx in sorted({t[2] for t in taps_l})
+                     for j, _, dxt in taps_l if dxt == dx]
+            wm = jnp.transpose(
+                jnp.stack([wm[j] for j in order], 0),
+                (1, 0, 2)).reshape(1, co, len(taps_l) * c_in)
+        return [wm, bias.reshape(co, 1)], co, im2
+
+    ws1, c_out, im2_1 = _prep(op1, weights1, c1)
+    ws2, c_out2, im2_2 = _prep(op2, weights2, x2.shape[1])
+    assert c_out == c_out2, (c_out, c_out2)
+
+    halo = max(min(dil * (k // 2), max(h - 1, 0))
+               for _, k, dil in specs)
+    rows = _pick_rows(h, w, max(halo, 1), 3 if halo else 1)
+    xf1, hp = _flatten(x1, rows)
+    xf2, _ = _flatten(x2, rows)
+    tile_p = rows * w
+    n_tiles = hp * w // tile_p
+    halo_rows, views, specs_in = [], [], []
+    for op, xf in zip(specs, (xf1, xf2)):
+        _, k, dil = op
+        dmax_dy = max((abs(dy) for _, dy, _ in _taps(k, dil, h, w)),
+                      default=0)
+        hr = _halo_rows(rows, w, min(dmax_dy + 1, rows))
+        halo_rows.append(hr)
+        views.extend([xf, xf, xf])
+        specs_in.append(_x_specs(xf.shape[1], tile_p, n_tiles, w, hr))
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, specs=specs,
+                          im2cols=(im2_1, im2_2), h=h, w=w, tile_p=tile_p,
+                          halo_pxs=tuple(hr * w for hr in halo_rows),
+                          center_valid=hp == h),
+        out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x1.dtype),
+        grid=(b, n_tiles),
+        in_specs=[*[_full_spec(wa.shape) for wa in ws1],
+                  *[_full_spec(wa.shape) for wa in ws2],
+                  *specs_in[0], *specs_in[1]],
+        out_specs=pl.BlockSpec((1, c_out, tile_p),
+                               lambda bi, i: (bi, 0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*ws1, *ws2, *views)
     return out.reshape(b, c_out, hp, w)[:, :, :h]
 
 

@@ -12,6 +12,7 @@ Eval-only by design (BN folding); training uses the NHWC reference path.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List
 
 import jax
@@ -22,6 +23,11 @@ from segtpu.kernels.chw_ops import conv_chw, sep_conv_chw, fold_bn
 from segtpu.models.micro_decoders import _cell_collect_inds, \
     _decoder_collect_inds, validate_genotype
 from segtpu.ops.layer_factory import OP_NAMES, _CONV_SPECS
+
+
+# A/B knob for the fused cell-node pair kernel; read ONCE at import
+# time (the value is baked into traced programs, like the chw_ops knobs)
+_PAIR_FUSE = os.environ.get("SEGTPU_PAIR_FUSE", "1") != "0"
 
 
 def _fold(p, s):
@@ -108,6 +114,40 @@ class _Op:
         return conv_chw(x, self.wf, self.bf, acc, k=self.k,
                         dilation=self.dil, interpret=self.interpret)
 
+    def fuse_spec(self):
+        """(op descriptor, weights) of this op's FINAL kernel for
+        kernels.chw_ops.pair_op_chw, or None if not pair-fusable
+        (gap/skip/none)."""
+        if self.kind == "conv":
+            return ("conv", self.k, self.dil), (self.wf, self.bf)
+        if self.kind == "sep":
+            return ("sep", self.k, self.dil), self.reps[-1]
+        return None
+
+    def prefix(self, x):
+        """All kernels of this op EXCEPT the final one (sep repeats>1);
+        identity for single-kernel ops."""
+        if self.kind == "sep":
+            for wd, bd, wp, bp in self.reps[:-1]:
+                x = sep_conv_chw(x, wd, bd, wp, bp, k=self.k,
+                                 dilation=self.dil,
+                                 interpret=self.interpret)
+        return x
+
+
+def _node_pair(opa, xa, opb, xb, interpret: bool):
+    """One cell node: opb(xb) + opa(xa). When both branches end in a
+    conv/sep kernel, run them FUSED in one kernel (pair_op_chw) — the
+    unfused form writes opa's output to HBM and reads it back as opb's
+    acc operand, a full [B,48,H,W] round trip per node. Falls back to
+    the acc-fused two-kernel form for gap/skip/none branches."""
+    fa, fb = opa.fuse_spec(), opb.fuse_spec()
+    if _PAIR_FUSE and fa is not None and fb is not None:
+        from segtpu.kernels.chw_ops import pair_op_chw
+        return pair_op_chw(opb.prefix(xb), fb[1], opa.prefix(xa), fa[1],
+                           op1=fb[0], op2=fa[0], interpret=interpret)
+    return opb(xb, acc=opa(xa))
+
 
 def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
                        taps_channel_first: bool = False,
@@ -174,8 +214,10 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
             outs = [y, blk["node0"](y)]
             for (opa, opb), (p1, p2, _, _) in zip(blk["nodes"],
                                                   cell_config[1:]):
-                # branch add fused into the second op's kernel epilogue
-                outs.append(opb(outs[p2], acc=opa(outs[p1])))
+                # both branches in ONE kernel when fusable, else the
+                # branch add fuses into the second op's kernel epilogue
+                outs.append(_node_pair(opa, outs[p1], opb, outs[p2],
+                                       interpret))
             acc = None
             for ci in cell_collect:
                 acc = outs[ci] if acc is None else acc + outs[ci]

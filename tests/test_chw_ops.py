@@ -99,3 +99,47 @@ def test_conv_chw_im2col_branch_matches_nhwc():
     got = conv_chw(x_chw, wf, bf, k=3, dilation=1, interpret=True)
     got = np.transpose(np.asarray(got), (0, 2, 3, 1))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("op1,op2", [
+    (("conv", 3, 3), ("sep", 3, 1)),    # arch0 node2: dil3 conv + sep3x3
+    (("sep", 5, 6), ("conv", 1, 1)),    # arch0 node3: sep5x5dil6 + pw
+    (("conv", 3, 1), ("conv", 3, 12)),
+    (("sep", 3, 3), ("sep", 5, 1)),
+])
+def test_pair_op_chw_matches_unfused(op1, op2):
+    """The fused cell-node pair kernel (one kernel, two branches, summed
+    in f32) must match the unfused composition act(op1(x1)) + act(op2(x2))
+    built from conv_chw/sep_conv_chw."""
+    from segtpu.kernels.chw_ops import pair_op_chw
+    c = 48
+    rng = np.random.RandomState(7)
+    x1 = jnp.asarray(rng.randn(2, c, 24, 64).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(2, c, 24, 64).astype(np.float32))
+
+    def mk(op, key):
+        kind, k, dil = op
+        if kind == "sep":
+            pd, sd = _rand_cb(jax.random.fold_in(key, 0), k, c, c, groups=c)
+            pp, sp = _rand_cb(jax.random.fold_in(key, 1), 1, c, c)
+            wd, bd = fold_bn(pd["w"], pd["scale"], pd["bias"],
+                             sd["mean"], sd["var"])
+            wp, bp = fold_bn(pp["w"], pp["scale"], pp["bias"],
+                             sp["mean"], sp["var"])
+            return (wd, bd, wp, bp)
+        p, s = _rand_cb(key, k, c, c)
+        return fold_bn(p["w"], p["scale"], p["bias"], s["mean"], s["var"])
+
+    w1 = mk(op1, jax.random.PRNGKey(11))
+    w2 = mk(op2, jax.random.PRNGKey(12))
+
+    def one(op, wts, x):
+        kind, k, dil = op
+        if kind == "sep":
+            return sep_conv_chw(x, *wts, k=k, dilation=dil, interpret=True)
+        return conv_chw(x, *wts, k=k, dilation=dil, interpret=True)
+
+    want = np.asarray(one(op1, w1, x1)) + np.asarray(one(op2, w2, x2))
+    got = np.asarray(pair_op_chw(x1, w1, x2, w2, op1=op1, op2=op2,
+                                 interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
