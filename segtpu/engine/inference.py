@@ -338,8 +338,10 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
             # (C-sublane, px-lane) layout and feed the W-first
             # upsample+argmax kernel retile-free (the 4-D interface
             # forced a 0.288 ms (C,px)->(h,w) copy per b8 dispatch);
-            # needs a 128-divisible decoder width
-            flat_tail = (wp // 4) % 128 == 0
+            # engaged only where the A/B says it wins (narrow widths —
+            # see kernels.upsample_argmax.flat_tail_profitable)
+            from segtpu.kernels.upsample_argmax import flat_tail_profitable
+            flat_tail = flat_tail_profitable(wp // 4)
             dec = build(genotype, params["decoder"], stats["decoder"],
                         align_corners=align_corners,
                         taps_channel_first=taps_cf,
@@ -352,7 +354,9 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
                 out = upsample_argmax_flat(
                     logits_flat, dec_hw, (hp, wp), crop_hw=(h, w),
                     align_corners=align_corners,
-                    tile_r=8 if pallas_interpret else 64,
+                    # tile_r swept on hardware (scripts/ab_tail.py):
+                    # 256 beats 64 by ~4% at both engaged shapes
+                    tile_r=8 if pallas_interpret else 256,
                     interpret=pallas_interpret)
             else:
                 logits_cf = dec(taps)
@@ -449,7 +453,8 @@ def build_sharded_pallas_infer(genotype, *, num_classes: int,
         # same flat-tail eligibility rule as build_infer_fn: the
         # replicated tail computes the full grid either way, so the
         # retile saving applies per shard
-        flat_tail = (wp // 4) % 128 == 0
+        from segtpu.kernels.upsample_argmax import flat_tail_profitable
+        flat_tail = flat_tail_profitable(wp // 4)
         dec = build(genotype, params["decoder"], stats["decoder"],
                     align_corners=align_corners, taps_channel_first=True,
                     flat_logits=flat_tail, interpret=pallas_interpret)
@@ -459,7 +464,7 @@ def build_sharded_pallas_infer(genotype, *, num_classes: int,
             full = upsample_argmax_flat(
                 logits_flat, dec_hw, (h, w), crop_hw=(h, w),
                 align_corners=align_corners,
-                tile_r=8 if pallas_interpret else 64,
+                tile_r=8 if pallas_interpret else 256,
                 interpret=pallas_interpret)
         else:
             logits_cf = dec(taps)

@@ -283,6 +283,18 @@ def _kernel_flat(sb_ref, jidx_ref, wgt_ref, awt_ref, *refs, R: int,
     out_ref[0] = jnp.concatenate(outs, axis=0).astype(jnp.uint8)
 
 
+def flat_tail_profitable(dec_w: int) -> bool:
+    """Measured engagement gate for the flat W-first tail
+    (scripts/ab_tail.py on v5e): needs dec_w % 128 == 0 (flat lane
+    blocks), and only WINS at narrow decoder widths. At dec_w=128
+    (512-wide output, b16) flat 1.47 vs 4-D-incl-retile 1.51 ms; at
+    dec_w=512 (2048-wide output, b8) flat 2.62 vs 1.93 — the per-out-row
+    2-tap H-FMA reads of the f32 W-interp scratch scale with the
+    UPSAMPLED row width and swamp the saved 0.29 ms (C,px)->(h,w)
+    retile. Callers fall back to the 4-D banded kernel when False."""
+    return dec_w % 128 == 0 and dec_w <= 128
+
+
 @functools.partial(jax.jit, static_argnames=("in_hw", "out_hw", "crop_hw",
                                              "align_corners", "tile_r",
                                              "interpret"))
