@@ -39,7 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 # Tuning knobs, read ONCE at import time. Their values are baked into
 # jitted programs at trace time — changing the env after first import
 # (or first compile) has no effect on already-traced functions.
-_TILE_PX = int(os.environ.get("SEGTPU_TILE_PX", "4096"))
+#: Target px/tile for conv/sep/pair row tiles. 32768 (not the round-2
+#: 4096): large-dilation ops (sep5x5 dil6: 12 halo rows) found no thin
+#: halo DIVISOR at 16-row tiles and fell back to FULL-TILE halo views —
+#: 3x read traffic. 64-row tiles take a 16-row halo (1.5x) and cut the
+#: b8 1024x2048 dispatch 15.30 -> 14.56 ms on v5e (sep_dil6 0.76 ->
+#: 0.62, stem 0.80 -> 0.66); 131072 overflows the pair kernel's 100 MB
+#: VMEM scope at 48ch (compile error, recorded). Read ONCE at import.
+_TILE_PX = int(os.environ.get("SEGTPU_TILE_PX", "32768"))
 _INVRES_BUDGET = float(os.environ.get("SEGTPU_INVRES_BUDGET", "6e6"))
 
 
@@ -163,10 +170,13 @@ def _act(y, relu):
     return jnp.maximum(y, 0.0) if relu else y
 
 
-def _pw_kernel(wm_ref, b_ref, *refs, relu, has_acc: bool):
+def _pw_kernel(wm_ref, b_ref, *refs, relu, has_acc: bool,
+               has_vec: bool = False):
     """1x1 conv: no halo, no masks — one MXU dot per tile. With has_acc
     the last input is summed into the (post-activation) result — fusing
-    the cell-node branch add saves one HBM round-trip per node.
+    the cell-node branch add saves one HBM round-trip per node. has_vec
+    adds a per-(batch, channel) [C, 1] vector instead (a GAP branch
+    partner — the broadcast never materializes).
 
     Dot operands keep their NATIVE dtype (bf16 in production) with f32
     accumulation — f32 operands quarter the MXU rate; bf16-in/f32-accum
@@ -176,8 +186,12 @@ def _pw_kernel(wm_ref, b_ref, *refs, relu, has_acc: bool):
         wm_ref[0], x_ref[0],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     y = _act(y + b_ref[:].astype(jnp.float32), relu)
+    extra = 1
     if has_acc:
-        y = y + refs[1][0].astype(jnp.float32)
+        y = y + refs[extra][0].astype(jnp.float32)
+        extra += 1
+    if has_vec:
+        y = y + refs[extra][0].astype(jnp.float32)   # [C, 1] broadcast
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -235,7 +249,8 @@ def _conv_body(wm_ref, b_ref, stack, *, taps, depthwise: bool, w: int,
 def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
                  k: int, dilation: int, depthwise: bool, h: int, w: int,
                  tile_p: int, halo_px: int, relu, im2col: bool = False,
-                 has_acc: bool = False, center_valid: bool = True):
+                 has_acc: bool = False, has_vec: bool = False,
+                 center_valid: bool = True):
     out_ref = refs[-1]
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w)
@@ -251,8 +266,12 @@ def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
     y = _conv_body(wm_ref, b_ref, stack, taps=taps, depthwise=depthwise,
                    w=w, tile_p=tile_p, halo_px=halo_px, relu=relu,
                    im2col=im2col)
+    extra = 0
     if has_acc:
-        y = y + refs[0][0].astype(jnp.float32)
+        y = y + refs[extra][0].astype(jnp.float32)
+        extra += 1
+    if has_vec:
+        y = y + refs[extra][0].astype(jnp.float32)   # [C, 1] broadcast
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -276,7 +295,7 @@ def _sep_body(wdw_ref, bdw_ref, wpw_ref, bpw_ref, stack, *, taps,
 def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
                 *refs, k: int, dilation: int, h: int, w: int,
                 tile_p: int, halo_px: int, has_acc: bool = False,
-                center_valid: bool = True):
+                has_vec: bool = False, center_valid: bool = True):
     out_ref = refs[-1]
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w)
@@ -285,8 +304,12 @@ def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
                           halo_px, center_valid)
     y = _sep_body(wdw_ref, bdw_ref, wpw_ref, bpw_ref, stack, taps=taps,
                   w=w, tile_p=tile_p, halo_px=halo_px)
+    extra = 0
     if has_acc:
-        y = y + refs[0][0].astype(jnp.float32)
+        y = y + refs[extra][0].astype(jnp.float32)
+        extra += 1
+    if has_vec:
+        y = y + refs[extra][0].astype(jnp.float32)   # [C, 1] broadcast
     out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -427,16 +450,20 @@ def _lane_round(rows: int, w: int) -> int:
 @functools.partial(jax.jit, static_argnames=("k", "dilation", "depthwise",
                                              "relu", "flat_out",
                                              "interpret"))
-def conv_chw(x, w_folded, bias, acc=None, *, k: int, dilation: int = 1,
+def conv_chw(x, w_folded, bias, acc=None, vec_acc=None, *, k: int,
+             dilation: int = 1,
              depthwise: bool = False, relu: bool = True,
              flat_out: bool = False, interpret: bool = False):
     """x [B, C, H, W]; w_folded HWIO (BN pre-folded) -> [B, Cout, H, W].
     acc: optional [B, Cout, H, W] summed into the activated result
-    in-kernel (fused branch add). flat_out: return the kernel's NATIVE
-    flat [B, Cout, H*W] (C-sublane, px-lane) layout — consumers like
-    kernels.upsample_argmax.upsample_argmax_flat read it with no
-    (C,px)->(h,w) retile (0.288 ms/b8-dispatch at 8x19x256x512 in the
-    round-3 trace)."""
+    in-kernel (fused branch add). vec_acc: optional [B, Cout] per-
+    (batch, channel) vector summed in-kernel instead — a GAP cell-branch
+    partner rides in without its broadcast tensor ever existing (the
+    broadcast+add pass traced 0.155 ms/b8 at 8x48x256x512). flat_out:
+    return the kernel's NATIVE flat [B, Cout, H*W] (C-sublane, px-lane)
+    layout — consumers like kernels.upsample_argmax.upsample_argmax_flat
+    read it with no (C,px)->(h,w) retile (0.288 ms/b8-dispatch at
+    8x19x256x512 in the round-3 trace)."""
     b, c, h, w = x.shape
     if depthwise:
         wm = jnp.transpose(w_folded, (0, 1, 3, 2)).reshape(k * k, c, 1)
@@ -456,11 +483,19 @@ def conv_chw(x, w_folded, bias, acc=None, *, k: int, dilation: int = 1,
         acc_specs = [pl.BlockSpec((1, c_out, tile_p),
                                   lambda bi, i: (bi, 0, i),
                                   memory_space=pltpu.VMEM)]
+    if vec_acc is not None:
+        # [B, Cout, 1]: the px block spans the whole (length-1) axis, so
+        # the 128-divisibility rule does not apply (full-dim block)
+        acc_ops = acc_ops + (vec_acc.reshape(b, c_out, 1),)
+        acc_specs = acc_specs + [
+            pl.BlockSpec((1, c_out, 1), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)]
     if k == 1 and not depthwise:
         # pointwise fast path: single view, no halo, no masks
         out = pl.pallas_call(
             functools.partial(_pw_kernel, relu=relu,
-                              has_acc=acc is not None),
+                              has_acc=acc is not None,
+                              has_vec=vec_acc is not None),
             out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
             grid=(b, n_tiles),
             in_specs=[_full_spec(wm.shape),
@@ -497,6 +532,7 @@ def conv_chw(x, w_folded, bias, acc=None, *, k: int, dilation: int = 1,
                           depthwise=depthwise, h=h, w=w, tile_p=tile_p,
                           halo_px=halo_rows * w, im2col=im2col,
                           relu=relu, has_acc=acc is not None,
+                          has_vec=vec_acc is not None,
                           center_valid=hp == h),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
         grid=(b, n_tiles),
@@ -516,11 +552,12 @@ def conv_chw(x, w_folded, bias, acc=None, *, k: int, dilation: int = 1,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "dilation", "interpret"))
-def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, acc=None, *, k: int,
-                 dilation: int = 1, interpret: bool = False):
+def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, acc=None, vec_acc=None, *,
+                 k: int, dilation: int = 1, interpret: bool = False):
     """Fused separable conv (dw kxk + BN + ReLU + pw 1x1 + BN + ReLU),
     all BN pre-folded. x [B, C, H, W] -> [B, Cout, H, W]. acc: optional
-    fused branch add (see conv_chw)."""
+    fused branch add; vec_acc: optional [B, Cout] per-(batch, channel)
+    vector add (GAP branch partner) — see conv_chw."""
     b, c, h, w = x.shape
     wdw = jnp.transpose(w_dw, (0, 1, 3, 2)).reshape(k * k, c, 1)
     c_out = w_pw.shape[3]
@@ -536,6 +573,11 @@ def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, acc=None, *, k: int,
         acc_specs = [pl.BlockSpec((1, c_out, tile_p),
                                   lambda bi, i: (bi, 0, i),
                                   memory_space=pltpu.VMEM)]
+    if vec_acc is not None:
+        acc_ops = acc_ops + (vec_acc.reshape(b, c_out, 1),)
+        acc_specs = acc_specs + [
+            pl.BlockSpec((1, c_out, 1), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)]
     dmax_dy = max((abs(dy) for _, dy, _ in _taps(k, dilation, h, w)),
                   default=0)
     halo_rows = _halo_rows(rows, w, min(dmax_dy + 1, rows))
@@ -543,6 +585,7 @@ def sep_conv_chw(x, w_dw, b_dw, w_pw, b_pw, acc=None, *, k: int,
         functools.partial(_sep_kernel, k=k, dilation=dilation, h=h, w=w,
                           tile_p=tile_p, halo_px=halo_rows * w,
                           has_acc=acc is not None,
+                          has_vec=vec_acc is not None,
                           center_valid=hp == h),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
         grid=(b, n_tiles),

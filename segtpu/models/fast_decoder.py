@@ -89,18 +89,25 @@ class _Op:
                 self.kind = "conv"
                 self.wf, self.bf = _fold(params["conv"], stats["conv"])
 
-    def __call__(self, x, acc=None):
-        """acc: optional tensor fused into the result in-kernel for the
-        conv/sep kinds (cell branch add without an extra HBM pass)."""
+    def vector(self, x):
+        """GAP only: the op's per-(batch, channel) [B, C] vector result
+        (pool -> 1x1 conv -> ReLU) WITHOUT the spatial broadcast — a
+        partner kernel adds it in-register via vec_acc."""
+        assert self.kind == "gap"
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(2, 3))  # [B, C]
+        return jnp.maximum(pooled @ self.wm.astype(jnp.float32)
+                           + self.b.astype(jnp.float32), 0.0)
+
+    def __call__(self, x, acc=None, vec_acc=None):
+        """acc / vec_acc: optional tensor / [B, C] vector fused into the
+        result in-kernel for the conv/sep kinds (cell branch add without
+        an extra HBM pass)."""
         if self.kind == "none":
             return jnp.zeros_like(x) if acc is None else acc
         if self.kind == "skip_connect":
             return x if acc is None else x + acc
         if self.kind == "gap":
-            pooled = jnp.mean(x.astype(jnp.float32), axis=(2, 3))  # [B, C]
-            y = jnp.maximum(pooled @ self.wm.astype(jnp.float32)
-                            + self.b.astype(jnp.float32), 0.0)
-            y = y.astype(x.dtype)
+            y = self.vector(x).astype(x.dtype)
             y = jnp.broadcast_to(y[:, :, None, None],
                                  (x.shape[0], y.shape[1]) + x.shape[2:])
             return y if acc is None else y + acc
@@ -108,10 +115,11 @@ class _Op:
             for r, (wd, bd, wp, bp) in enumerate(self.reps):
                 last = r == len(self.reps) - 1
                 x = sep_conv_chw(x, wd, bd, wp, bp,
-                                 acc if last else None, k=self.k,
+                                 acc if last else None,
+                                 vec_acc if last else None, k=self.k,
                                  dilation=self.dil, interpret=self.interpret)
             return x
-        return conv_chw(x, self.wf, self.bf, acc, k=self.k,
+        return conv_chw(x, self.wf, self.bf, acc, vec_acc, k=self.k,
                         dilation=self.dil, interpret=self.interpret)
 
     def fuse_spec(self):
@@ -146,6 +154,14 @@ def _node_pair(opa, xa, opb, xb, interpret: bool):
         from segtpu.kernels.chw_ops import pair_op_chw
         return pair_op_chw(opb.prefix(xb), fb[1], opa.prefix(xa), fa[1],
                            op1=fb[0], op2=fa[0], interpret=interpret)
+    # GAP paired with a conv/sep: the GAP result is a per-(batch,
+    # channel) vector — ride it into the partner's kernel as a vec_acc
+    # epilogue; its [B,48,H,W] broadcast tensor never exists (the
+    # broadcast+add pass traced 0.155 ms/b8 at 8x48x256x512)
+    if _PAIR_FUSE and opa.kind == "gap" and fb is not None:
+        return opb(xb, vec_acc=opa.vector(xa))
+    if _PAIR_FUSE and opb.kind == "gap" and fa is not None:
+        return opa(xa, vec_acc=opb.vector(xb))
     return opb(xb, acc=opa(xa))
 
 

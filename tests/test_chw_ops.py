@@ -143,3 +143,32 @@ def test_pair_op_chw_matches_unfused(op1, op2):
     got = np.asarray(pair_op_chw(x1, w1, x2, w2, op1=op1, op2=op2,
                                  interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["conv", "sep", "pw"])
+def test_vec_acc_matches_broadcast_add(kind):
+    """vec_acc (the GAP-branch partner epilogue: a per-(batch, channel)
+    vector added in-kernel) must equal the unfused op + broadcast add."""
+    c = 48
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(2, c, 24, 64).astype(np.float32))
+    vec = jnp.asarray(rng.randn(2, c).astype(np.float32))
+    if kind == "sep":
+        pd, sd = _rand_cb(jax.random.PRNGKey(3), 3, c, c, groups=c)
+        pp, sp = _rand_cb(jax.random.PRNGKey(4), 1, c, c)
+        wd, bd = fold_bn(pd["w"], pd["scale"], pd["bias"],
+                         sd["mean"], sd["var"])
+        wp, bp = fold_bn(pp["w"], pp["scale"], pp["bias"],
+                         sp["mean"], sp["var"])
+        base = sep_conv_chw(x, wd, bd, wp, bp, k=3, dilation=3,
+                            interpret=True)
+        got = sep_conv_chw(x, wd, bd, wp, bp, None, vec, k=3, dilation=3,
+                           interpret=True)
+    else:
+        k = 1 if kind == "pw" else 3
+        p, s = _rand_cb(jax.random.PRNGKey(5), k, c, c)
+        wf, bf = fold_bn(p["w"], p["scale"], p["bias"], s["mean"], s["var"])
+        base = conv_chw(x, wf, bf, k=k, interpret=True)
+        got = conv_chw(x, wf, bf, None, vec, k=k, interpret=True)
+    want = np.asarray(base) + np.asarray(vec)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
