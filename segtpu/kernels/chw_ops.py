@@ -909,7 +909,7 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
                       bproj_ref, xm0, x00, xm1, x01, xm2, x02, xm3, x03,
                       out_ref, *, h2: int, w2: int, tile_p: int,
                       halo_px: int, expand: bool, center_valid: bool,
-                      q3d: bool = False):
+                      q3d: bool = False, q4d: bool = False):
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w2)
     wpad = w2 + 1
@@ -927,8 +927,15 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
         if not q_taps:
             continue
         xm, x0 = views[q]
-        xm_v = xm[0] if q3d else xm[0, 0]
-        x0_v = x0[0] if q3d else x0[0, 0]
+        if q4d:
+            # blocks arrive in the einsum's native [c, kb, 128] layout;
+            # the sublane->lane merge to the flat [c, px] working form
+            # is the shape-cast direction Mosaic lowers in-register
+            xm_v = xm[0].reshape(xm.shape[1], halo_px)
+            x0_v = x0[0].reshape(x0.shape[1], tile_p)
+        else:
+            xm_v = xm[0] if q3d else xm[0, 0]
+            x0_v = x0[0] if q3d else x0[0, 0]
         win = jnp.concatenate(
             [jax.lax.slice_in_dim(xm_v, halo_px - wpad, halo_px, axis=1),
              x0_v], axis=1)                          # [C, wpad + tile_p]
@@ -990,6 +997,7 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     older 5-D [2,B,C,H/2,W] form paid ~0.9 ms of relayouts on top)."""
     pair_flat = None
     row_planes = None
+    q4d = False
     if pair_hw is not None:
         assert isinstance(x, (tuple, list)) and len(x) == 2, \
             "pair_hw expects the (even, odd) flat plane tuple"
@@ -1035,12 +1043,20 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         else:
             xr = x.reshape(b, c, h2, 2, w)
             planes = (xr[:, :, :, 0], xr[:, :, :, 1])
+        # keep the einsum's NATIVE [b, c, K, 128] output (K = px/128,
+        # K-sublane / 128-lane): flattening it to [b, c, px] here is a
+        # genuine retile (c-sublane/px-lane) that XLA materializes as a
+        # copy it cannot fuse into the pallas call (4 x 0.083 ms/b8 at
+        # 8x16x512x1024 in the round-3 trace). The kernel instead takes
+        # 4-D blocks and shape-casts [c, kb, 128] -> [c, kb*128]
+        # in-register (the sublane->lane merge direction Mosaic lowers;
+        # the front kernel relies on the same cast).
         q_flat = []
         for rp in planes:
             r = rp.reshape(b, c, (h2 * w) // 256, 256)
             for m in (ev, od):
-                q = jnp.einsum("bckp,pq->bckq", r, m)
-                q_flat.append(q.reshape(b, c, h2 * w2))
+                q_flat.append(jnp.einsum("bckp,pq->bckq", r, m))
+        q4d = True
     elif w % 128 == 0:
         # w == 128 (mod 256): fall back to the full-row-chunk einsum —
         # the minimal-K form's 64-lane output chunks would tile T(8,64)
@@ -1085,7 +1101,12 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         rows = _lane_round(target, w2)
     hp2 = _round_up(h2, rows)
     if hp2 != h2:
-        if q_flat is not None:
+        if q4d:
+            q_flat = [jnp.concatenate(
+                [a, jnp.zeros(a.shape[:2]
+                              + (((hp2 - h2) * w2) // 128, 128), a.dtype)],
+                axis=2) for a in q_flat]
+        elif q_flat is not None:
             q_flat = [jnp.concatenate(
                 [a, jnp.zeros(a.shape[:2] + ((hp2 - h2) * w2,), a.dtype)],
                 axis=2) for a in q_flat]
@@ -1108,10 +1129,35 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     wproj = jnp.transpose(w_proj, (0, 1, 3, 2)).reshape(1, c_out, cmid).astype(dtype)
 
     halo_rows = _halo_rows(rows, w2, 2)
+    if q4d and tile_p % 1024 == 0 and (halo_rows * w2) % 1024:
+        # prefer a (slightly thicker) 1024-px-aligned halo divisor so
+        # the 4-D q blocks keep their 8-divisible sublane (k) dim —
+        # cheaper than falling back to the per-quadrant retile copies
+        for d in range(halo_rows + 1, rows + 1):
+            if rows % d == 0 and (d * w2) % 1024 == 0:
+                halo_rows = d
+                break
     ratio = rows // halo_rows
 
+    if q4d and ((halo_rows * w2) % 1024 or tile_p % 1024):
+        # Pallas 4-D blocks need the sublane (k) dim divisible by 8 —
+        # i.e. 1024-px-aligned views. Misaligned small shapes take the
+        # old flat path (one XLA retile copy per quadrant).
+        q_flat = [a.reshape(b, c, hp2 * w2) for a in q_flat]
+        q4d = False
+
     x_specs, x_ops = [], []
-    if q_flat is not None:
+    if q4d:
+        def qspec4(blk, fn):
+            return pl.BlockSpec((1, c, blk // 128, 128),
+                                lambda bi, i, fn=fn: (bi, 0, fn(i), 0),
+                                memory_space=pltpu.VMEM)
+        for arr in q_flat:
+            x_specs.append(qspec4(halo_rows * w2,
+                                  lambda i: jnp.maximum(i * ratio - 1, 0)))
+            x_specs.append(qspec4(tile_p, lambda i: i))
+            x_ops.extend([arr, arr])
+    elif q_flat is not None:
         def qspec3(blk, fn):
             return pl.BlockSpec((1, c, blk),
                                 lambda bi, i, fn=fn: (bi, 0, fn(i)),
@@ -1139,7 +1185,7 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         functools.partial(_invres_s2_kernel, h2=h2, w2=w2, tile_p=tile_p,
                           halo_px=halo_rows * w2,
                           expand=expand, center_valid=hp2 == h2,
-                          q3d=q_flat is not None),
+                          q3d=q_flat is not None and not q4d, q4d=q4d),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp2 * w2), dtype),
         grid=(b, n_tiles),
         in_specs=[_full_spec(wexp.shape),
