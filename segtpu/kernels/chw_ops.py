@@ -909,7 +909,8 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
                       bproj_ref, xm0, x00, xm1, x01, xm2, x02, xm3, x03,
                       out_ref, *, h2: int, w2: int, tile_p: int,
                       halo_px: int, expand: bool, center_valid: bool,
-                      q3d: bool = False, q4d: bool = False):
+                      q3d: bool = False, q4d: bool = False,
+                      stacked: bool = False, cmid: int = 0):
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w2)
     wpad = w2 + 1
@@ -917,15 +918,8 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
     # tap (dy, dx) -> (quadrant ry*2+rx, si, sj, weight index)
     def qmap(d):
         return (0, 0) if d == 0 else (1, -1 if d == -1 else 0)
-    part_m = None   # sj == -1 taps (col-masked once at the end)
-    part_0 = None   # sj == 0 taps
-    for q in range(4):
-        ry, rx = q // 2, q % 2
-        q_taps = [((dy + 1) * 3 + dx + 1, qmap(dy)[1], qmap(dx)[1])
-                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-                  if qmap(dy)[0] == ry and qmap(dx)[0] == rx]
-        if not q_taps:
-            continue
+
+    def _win(q):
         xm, x0 = views[q]
         if q4d:
             # blocks arrive in the einsum's native [c, kb, 128] layout;
@@ -936,20 +930,15 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
         else:
             xm_v = xm[0] if q3d else xm[0, 0]
             x0_v = x0[0] if q3d else x0[0, 0]
-        win = jnp.concatenate(
+        return jnp.concatenate(
             [jax.lax.slice_in_dim(xm_v, halo_px - wpad, halo_px, axis=1),
              x0_v], axis=1)                          # [C, wpad + tile_p]
-        if expand:
-            # native-dtype operands: full-rate MXU (see _invres_kernel)
-            mid = jax.lax.dot_general(
-                wexp_ref[0], win, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            mid = jnp.clip(mid + bexp_ref[:].astype(jnp.float32), 0.0, 6.0)
-        else:
-            mid = win.astype(jnp.float32)
+
+    def _mask_rows(mid):
         # SAME padding zeroes the dw INPUT (the expand output): mask the
         # head halo (only the first tile can read above the image) and,
-        # with non-divisor tiles, the padded center rows
+        # with non-divisor tiles, the padded center rows. Lane-only
+        # predicates — identical for every quadrant/channel row.
         e = jax.lax.broadcasted_iota(jnp.int32, (1, wpad), 1)
         headv = (row0 * w2 - wpad + e) >= 0
         head = jnp.where(headv, mid[:, :wpad], 0.0)
@@ -957,7 +946,52 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
         if not center_valid:
             pc = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
             body = jnp.where(row0 + pc // w2 < h2, body, 0.0)
-        mid = jnp.concatenate([head, body], axis=1)
+        return jnp.concatenate([head, body], axis=1)
+
+    def _q_taps(q):
+        ry, rx = q // 2, q % 2
+        return [((dy + 1) * 3 + dx + 1, qmap(dy)[1], qmap(dx)[1])
+                for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                if qmap(dy)[0] == ry and qmap(dx)[0] == rx]
+
+    part_m = None   # sj == -1 taps (col-masked once at the end)
+    part_0 = None   # sj == 0 taps
+    mid_all = None
+    if stacked:
+        # All four quadrant expands as ONE block-diagonal dot: the
+        # per-quadrant expand contracts K = Cin as low as 16 — 12.5% of
+        # the MXU's 128-deep systolic array. Quadrants share the weight,
+        # so sublane-stacking their windows ([4C, wpad+tile]) against a
+        # block-diag [4Cmid, 4C] raises K to 4C at 4x M: unit-matmul
+        # count drops 4->3 at C=16 (b1-s2), 8->5 at C=24 (b2-s2),
+        # 8->6 at C=32 (b3-s2). Gated on 4C <= 128 (above that K is
+        # already >= half the array and 4x M costs more than K saves).
+        win = jnp.concatenate([_win(q) for q in range(4)], axis=0)
+        mid_all = jax.lax.dot_general(
+            wexp_ref[0], win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mid_all = jnp.clip(mid_all + bexp_ref[:].astype(jnp.float32),
+                           0.0, 6.0)
+        mid_all = _mask_rows(mid_all)                # [4*Cmid, wpad+tile]
+    for q in range(4):
+        q_taps = _q_taps(q)
+        if not q_taps:
+            continue
+        if stacked:
+            mid = jax.lax.slice_in_dim(mid_all, q * cmid, (q + 1) * cmid,
+                                       axis=0)
+        else:
+            win = _win(q)
+            if expand:
+                # native-dtype operands: full-rate MXU (_invres_kernel)
+                mid = jax.lax.dot_general(
+                    wexp_ref[0], win, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                mid = jnp.clip(mid + bexp_ref[:].astype(jnp.float32),
+                               0.0, 6.0)
+            else:
+                mid = win.astype(jnp.float32)
+            mid = _mask_rows(mid)
         for j, si, sj in q_taps:
             start = wpad + si * w2 + sj
             xs = jax.lax.slice_in_dim(mid, start, start + tile_p, axis=1)
@@ -1119,9 +1153,21 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
                 for a, pi in q_arrays]
     tile_p = rows * w2
     n_tiles = hp2 * w2 // tile_p
+    # block-diag quadrant-stacked expand (see _invres_s2_kernel): raises
+    # the expand dot's K from C to 4C — only pays while 4C <= 128
+    stacked = expand and 4 * c <= 128
     if expand:
-        wexp = jnp.transpose(w_exp, (0, 1, 3, 2)).reshape(1, cmid, c).astype(dtype)
-        bexp = b_exp.reshape(cmid, 1)
+        we = jnp.transpose(w_exp, (0, 1, 3, 2)).reshape(cmid, c)
+        if stacked:
+            z = jnp.zeros((cmid, c), we.dtype)
+            wexp = jnp.concatenate(
+                [jnp.concatenate([we if i == q else z for i in range(4)],
+                                 axis=1) for q in range(4)],
+                axis=0).reshape(1, 4 * cmid, 4 * c).astype(dtype)
+            bexp = jnp.tile(b_exp.reshape(cmid, 1), (4, 1))
+        else:
+            wexp = we.reshape(1, cmid, c).astype(dtype)
+            bexp = b_exp.reshape(cmid, 1)
     else:
         wexp = jnp.zeros((1, 1, 1), dtype)
         bexp = jnp.zeros((1, 1), dtype)
@@ -1185,7 +1231,8 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         functools.partial(_invres_s2_kernel, h2=h2, w2=w2, tile_p=tile_p,
                           halo_px=halo_rows * w2,
                           expand=expand, center_valid=hp2 == h2,
-                          q3d=q_flat is not None and not q4d, q4d=q4d),
+                          q3d=q_flat is not None and not q4d, q4d=q4d,
+                          stacked=stacked, cmid=cmid),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp2 * w2), dtype),
         grid=(b, n_tiles),
         in_specs=[_full_spec(wexp.shape),
