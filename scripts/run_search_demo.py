@@ -112,8 +112,18 @@ def main():
         blob = load_pytree_like(pre_ckpt, {"params": tp, "stats": ts})
         enc_params = blob["params"]["encoder"]
         enc_stats = blob["stats"]["encoder"]
-        pre_best = -1.0   # recorded by the run that wrote the ckpt
-        print(f"# reusing pre-trained encoder from {pre_ckpt}")
+        # re-measure the ckpt's val mIoU rather than record a sentinel
+        # (VERDICT r3 next#8: the recorded -1.0 eroded the artifact)
+        import jax.numpy as jnp
+        from segtpu.engine.trainer import make_eval_step, validate
+        ev = make_eval_step(ARCHS["arch0"], num_classes=NUM_CLASSES)
+        pre_best = float(validate(
+            ev, blob["params"], blob["stats"],
+            ({"image": jnp.asarray(b["image"], jnp.float32),
+              "label": jnp.asarray(b["label"])} for b in vl),
+            num_classes=NUM_CLASSES))
+        print(f"# reusing pre-trained encoder from {pre_ckpt} "
+              f"(re-measured val mIoU {pre_best:.4f})")
     else:
         t0 = time.time()
         pre_best, pre_state = run_training(ARCHS["arch0"], tl, vl, tcfg)
@@ -134,11 +144,16 @@ def main():
     summary = []
     for rnd in sorted(rows):
         rw = [r["reward"] for r in rows[rnd]]
+        ent = [r["entropy"] for r in rows[rnd] if "entropy" in r]
         summary.append({"round": rnd,
                         "mean": round(float(np.mean(rw)), 4),
                         "max": round(float(np.max(rw)), 4),
                         "min": round(float(np.min(rw)), 4),
-                        "baseline": round(rows[rnd][0]["baseline"], 4)})
+                        "baseline": round(rows[rnd][0]["baseline"], 4),
+                        # mean summed slot entropy (nats): exploration-
+                        # collapse indicator (VERDICT r3 next#8)
+                        "entropy": round(float(np.mean(ent)), 4)
+                        if ent else None})
     best = saver.best(1)[0]
     out = {"population": population, "rounds": rounds,
            "wall_clock_s": round(wall, 1),

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 
 
 def main():
+    from segtpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()  # before first trace/compile
     from segtpu.models import ARCHS
     from segtpu.models.segmenter import segmenter_init
     from segtpu.engine.inference import build_infer_fn

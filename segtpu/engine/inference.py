@@ -241,6 +241,7 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
                    batch: Optional[int] = None, align_corners: bool = True,
                    compute_dtype=jnp.bfloat16, return_logits: bool = False,
                    use_pallas: Optional[bool] = None,
+                   flat_tail: Optional[bool] = None,
                    pallas_interpret: bool = False):
     """Compile-ready fused inference function for one shape bucket.
 
@@ -251,6 +252,10 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
     use_pallas: route the upsample+argmax tail through the fused Pallas
     kernel (segtpu.kernels.upsample_argmax) — the full-res logit tensor
     never touches HBM. Defaults to True on TPU, False elsewhere.
+
+    flat_tail: None = auto (kernels.upsample_argmax.flat_tail_profitable);
+    tests override to pin one tail variant (the two are equal up to the
+    f32 order of the separable W/H interps — tie pixels can flip).
     """
     h, w = int(input_hw[0]), int(input_hw[1])
     hp, wp = pad_to_stride((h, w))
@@ -341,13 +346,14 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
             # engaged only where the A/B says it wins (narrow widths —
             # see kernels.upsample_argmax.flat_tail_profitable)
             from segtpu.kernels.upsample_argmax import flat_tail_profitable
-            flat_tail = flat_tail_profitable(wp // 4)
+            use_flat = (flat_tail_profitable(wp // 4) if flat_tail is None
+                        else flat_tail)
             dec = build(genotype, params["decoder"], stats["decoder"],
                         align_corners=align_corners,
                         taps_channel_first=taps_cf,
-                        flat_logits=flat_tail,
+                        flat_logits=use_flat,
                         interpret=pallas_interpret)
-            if flat_tail:
+            if use_flat:
                 from segtpu.kernels.upsample_argmax import \
                     upsample_argmax_flat
                 logits_flat, dec_hw = dec(taps)
@@ -411,13 +417,19 @@ def build_sharded_pallas_infer(genotype, *, num_classes: int,
       * front + encoder run shard-local with overlap-discard halo
         exchange per block (fast_encoder._halo_exchange — one ppermute
         of 1-2 boundary rows per block, bit-exact vs unsharded);
-      * the four taps (small: <=8 MB bf16 total at 1024x2048) are
-        all-gathered so the decoder — which may contain GLOBAL ops
-        (global_average_pool cells) — computes replicated and exact;
-      * the upsample+argmax tail computes the full grid from the
-        replicated stride-4 logits and keeps its own H slice (the tail
-        is ~4% of the single-chip dispatch; a per-shard banded interp
-        matrix would need shard-static row phases, noted future work).
+      * the MICRO decoder runs H-sharded too (VERDICT r3 next#3 — the
+        round-3 engine all-gathered the taps and replicated decoder +
+        tail, an Amdahl cap of ~2.3x at 8 shards): cells overlap-
+        discard per op/pair kernel, GAP branches psum, resizes apply
+        per-shard interpolation bands; blocks too small for one-hop
+        halos (the low-res ~6%% of decoder px) compute replicated —
+        see fast_decoder.build_fast_decoder(spatial=...);
+      * the tail computes ONLY its own H/n output rows from the
+        all-gathered stride-4 logits (tiny: 5 MB bf16 at 1024x2048x19)
+        via per-shard banded interp rows
+        (kernels.upsample_argmax.upsample_argmax_sharded).
+    The TEMPLATE family keeps the round-3 replicated-decoder layout
+    (all-gathered taps) with the sharded tail.
 
     Returns ``infer_local(params, stats, img_local)`` mapping the local
     uint8 [N, H/n, W, 3] slice -> local uint8 [N, H/n, W] mask slice.
@@ -439,44 +451,38 @@ def build_sharded_pallas_infer(genotype, *, num_classes: int,
         build_fast_decoder, build_fast_template_decoder)
     from segtpu.models.fast_encoder import mbv2_chw_apply
 
+    micro = infer_family(genotype).name == "micro"
+
     def infer_local(params, stats, img_local):
         assert img_local.ndim == 4, "sharded inference takes [N,H/n,W,3]"
+        from segtpu.kernels.upsample_argmax import upsample_argmax_sharded
         x12 = _normalize_s2d_chw(img_local, compute_dtype)
         taps = mbv2_chw_apply(params["encoder"], stats["encoder"], x12,
                               spatial_axis=axis_name,
                               interpret=pallas_interpret)
-        taps = [jax.lax.all_gather(t, axis_name, axis=2, tiled=True)
-                for t in taps]
-        build = (build_fast_decoder
-                 if infer_family(genotype).name == "micro"
-                 else build_fast_template_decoder)
-        # same flat-tail eligibility rule as build_infer_fn: the
-        # replicated tail computes the full grid either way, so the
-        # retile saving applies per shard
-        from segtpu.kernels.upsample_argmax import flat_tail_profitable
-        flat_tail = flat_tail_profitable(wp // 4)
-        dec = build(genotype, params["decoder"], stats["decoder"],
-                    align_corners=align_corners, taps_channel_first=True,
-                    flat_logits=flat_tail, interpret=pallas_interpret)
-        if flat_tail:
-            from segtpu.kernels.upsample_argmax import upsample_argmax_flat
-            logits_flat, dec_hw = dec(taps)
-            full = upsample_argmax_flat(
-                logits_flat, dec_hw, (h, w), crop_hw=(h, w),
-                align_corners=align_corners,
-                tile_r=8 if pallas_interpret else 256,
-                interpret=pallas_interpret)
+        if micro:
+            dec = build_fast_decoder(
+                genotype, params["decoder"], stats["decoder"],
+                align_corners=align_corners, taps_channel_first=True,
+                spatial=(axis_name, n_shards), interpret=pallas_interpret)
+            logits_local = dec(taps)     # [B, K, (h/4)/n, w/4]
         else:
-            logits_cf = dec(taps)
-            full = upsample_argmax(
-                logits_cf, (h, w), crop_hw=(h, w),
-                align_corners=align_corners, channel_first=True,
-                tile_h=32 if pallas_interpret else (512 if h >= 512 else
-                                                    128),
+            taps = [jax.lax.all_gather(t, axis_name, axis=2, tiled=True)
+                    for t in taps]
+            dec = build_fast_template_decoder(
+                genotype, params["decoder"], stats["decoder"],
+                align_corners=align_corners, taps_channel_first=True,
                 interpret=pallas_interpret)
-        idx = jax.lax.axis_index(axis_name)
-        return jax.lax.dynamic_slice_in_dim(
-            full, idx * (h // n_shards), h // n_shards, axis=1)
+            logits_full = dec(taps)
+            lq = logits_full.shape[2] // n_shards
+            logits_local = jax.lax.dynamic_slice_in_dim(
+                logits_full, jax.lax.axis_index(axis_name) * lq, lq,
+                axis=2)
+        return upsample_argmax_sharded(
+            logits_local, (h, w), axis_name=axis_name, n_shards=n_shards,
+            align_corners=align_corners,
+            tile_h=32 if pallas_interpret else (512 if h >= 512 else 128),
+            interpret=pallas_interpret)
 
     return infer_local
 

@@ -48,10 +48,29 @@ from jax.experimental.pallas import tpu as pltpu
 #: VMEM scope at 48ch (compile error, recorded). Read ONCE at import.
 _TILE_PX = int(os.environ.get("SEGTPU_TILE_PX", "32768"))
 _INVRES_BUDGET = float(os.environ.get("SEGTPU_INVRES_BUDGET", "6e6"))
+#: Depthwise tap loops accumulate in the input's NATIVE dtype (bf16 in
+#: production) instead of f32 when 1. A/B knob — see _dw_tap_sum.
+_DW_NATIVE = os.environ.get("SEGTPU_DW_NATIVE", "0") == "1"
+#: Max c*taps for the dense-conv dx-group im2col path (stacked tap
+#: slices raise the MXU dot's K from C to taps_in_group*C). Round-4 A/B
+#: on v5e: 512 (engaging the 48-ch 3x3 convs, K=48 -> 144 per dx group)
+#: cut the conv3x3_dil3+sep3x3 pair kernel 0.957 -> 0.713 ms/b8-dispatch
+#: at 1024x2048 with every other kernel flat; 256 (the round-3 gate)
+#: left those convs on 9 separate K=48 dots.
+_IM2COL_MAX = int(os.environ.get("SEGTPU_IM2COL_MAX", "512"))
 
 
 def _round_up(x, m):
     return -(-x // m) * m
+
+
+def _dw_dtype(native_dtype):
+    """Depthwise tap-loop compute dtype: f32 by default (one convert at
+    stack build, exact accumulation); the input's native dtype under
+    SEGTPU_DW_NATIVE=1 — halves the tap loop's VPU data movement at the
+    cost of bf16 accumulation across the k*k taps (A/B knob; the XLA dw
+    path accumulates f32, so 0 stays the parity default)."""
+    return native_dtype if _DW_NATIVE else jnp.float32
 
 
 def fold_bn(w, scale, bias, mean, var, eps: float = 1e-5):
@@ -158,7 +177,7 @@ def _dw_tap_sum(stack_masked, taps, combine, tile_p: int, w: int,
             # (tile + 2*dmax|dy|*w)-wide window, which at dilation 12
             # is 2.5x the tile
             colv = ((p % w) + dx >= 0) & ((p % w) + dx < w)
-            part = part * colv.astype(jnp.float32)
+            part = part * colv.astype(part.dtype)
         acc = part if acc is None else acc + part
     return acc
 
@@ -236,7 +255,7 @@ def _conv_body(wm_ref, b_ref, stack, *, taps, depthwise: bool, w: int,
     else:
         if depthwise:
             def combine(j, xs):
-                return wm_ref[j].astype(jnp.float32) * xs
+                return wm_ref[j].astype(xs.dtype) * xs
         else:
             def combine(j, xs):
                 return jax.lax.dot_general(
@@ -261,7 +280,7 @@ def _conv_kernel(wm_ref, b_ref, xm_ref, x0_ref, xp_ref, *refs,
     # it) and match the XLA conv path's numerics
     stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h,
                           halo_px, center_valid,
-                          dtype=jnp.float32 if depthwise
+                          dtype=_dw_dtype(x0_ref.dtype) if depthwise
                           else x0_ref.dtype)
     y = _conv_body(wm_ref, b_ref, stack, taps=taps, depthwise=depthwise,
                    w=w, tile_p=tile_p, halo_px=halo_px, relu=relu,
@@ -281,7 +300,7 @@ def _sep_body(wdw_ref, bdw_ref, wpw_ref, bpw_ref, stack, *, taps,
     ReLU), returning the f32 result. Shared by _sep_kernel and
     _pair_kernel."""
     acc = _dw_tap_sum(stack, taps,
-                      lambda j, xs: wdw_ref[j].astype(jnp.float32) * xs,
+                      lambda j, xs: wdw_ref[j].astype(xs.dtype) * xs,
                       tile_p, w, halo_px)
     mid = jnp.maximum(acc + bdw_ref[:].astype(jnp.float32), 0.0)
     # pw dot in native dtype (full-rate MXU; the XLA path also rounds
@@ -301,7 +320,8 @@ def _sep_kernel(wdw_ref, bdw_ref, wpw_ref, bpw_ref, xm_ref, x0_ref, xp_ref,
     row0 = ti * (tile_p // w)
     taps = _taps(k, dilation, h, w)
     stack = _masked_stack(xm_ref, x0_ref, xp_ref, row0, tile_p, w, h,
-                          halo_px, center_valid)
+                          halo_px, center_valid,
+                          dtype=_dw_dtype(x0_ref.dtype))
     y = _sep_body(wdw_ref, bdw_ref, wpw_ref, bpw_ref, stack, taps=taps,
                   w=w, tile_p=tile_p, halo_px=halo_px)
     extra = 0
@@ -338,7 +358,8 @@ def _pair_kernel(*refs, specs, im2cols, h: int, w: int, tile_p: int,
         taps = _taps(k, dil, h, w)
         if kind == "sep":
             stack = _masked_stack(xm, x0, xp, row0, tile_p, w, h,
-                                  halo_px, center_valid)
+                                  halo_px, center_valid,
+                                  dtype=_dw_dtype(x0.dtype))
             y = _sep_body(*wr, stack, taps=taps, w=w, tile_p=tile_p,
                           halo_px=halo_px)
         else:
@@ -518,7 +539,8 @@ def conv_chw(x, w_folded, bias, acc=None, vec_acc=None, *, k: int,
     halo_rows = _halo_rows(rows, w, min(dmax_dy + 1, rows))
     # w % 128: dy*w lane shifts then change vreg offsets within a dx
     # group and the sublane concat stops lowering (Mosaic offset rule)
-    im2col = not depthwise and c * len(taps_l) <= 256 and w % 128 == 0
+    im2col = (not depthwise and c * len(taps_l) <= _IM2COL_MAX
+              and w % 128 == 0)
     if im2col:
         # [k*k, c_out, c] -> [1, c_out, n_taps*c], dx-group-major to
         # match the kernel's per-group stacking order
@@ -642,7 +664,7 @@ def pair_op_chw(x1, weights1, x2, weights2, *, op1, op2,
         taps_l = _taps(k, dil, h, w)
         wm = jnp.transpose(w_f, (0, 1, 3, 2)).reshape(
             k * k, co, c_in).astype(x1.dtype)
-        im2 = c_in * len(taps_l) <= 256 and w % 128 == 0
+        im2 = c_in * len(taps_l) <= _IM2COL_MAX and w % 128 == 0
         if im2:
             order = [j for dx in sorted({t[2] for t in taps_l})
                      for j, _, dxt in taps_l if dxt == dx]
@@ -728,8 +750,10 @@ def _invres_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
             wexp_ref[0], win, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         mid = _relu6(mid + bexp_ref[:].astype(jnp.float32))
+        if _DW_NATIVE:   # round the mid like the XLA path does between ops
+            mid = mid.astype(x0_ref.dtype)
     else:
-        mid = win.astype(jnp.float32)
+        mid = win.astype(_dw_dtype(win.dtype))
     # zero rows outside the image AFTER the expand (SAME padding zeroes
     # the dw input, which is the expand output, not the raw input)
     p = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p + 2 * wpad), 1)
@@ -754,11 +778,11 @@ def _invres_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
                 continue
             base = w + dy * w
             xs = jax.lax.slice_in_dim(win, base, base + tile_p, axis=1)
-            term = wdw_ref[j].astype(jnp.float32) * xs
+            term = wdw_ref[j].astype(xs.dtype) * xs
             part = term if part is None else part + term
         if dx != 0:
             colv = ((pp % w) + dx >= 0) & ((pp % w) + dx < w)
-            part = part * colv.astype(jnp.float32)
+            part = part * colv.astype(part.dtype)
         acc = part if acc is None else acc + part
     acc = _relu6(acc + bdw_ref[:].astype(jnp.float32))
     y = jax.lax.dot_general(
@@ -972,6 +996,8 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
             preferred_element_type=jnp.float32)
         mid_all = jnp.clip(mid_all + bexp_ref[:].astype(jnp.float32),
                            0.0, 6.0)
+        if _DW_NATIVE:
+            mid_all = mid_all.astype(x00.dtype)
         mid_all = _mask_rows(mid_all)                # [4*Cmid, wpad+tile]
     for q in range(4):
         q_taps = _q_taps(q)
@@ -989,19 +1015,21 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
                     preferred_element_type=jnp.float32)
                 mid = jnp.clip(mid + bexp_ref[:].astype(jnp.float32),
                                0.0, 6.0)
+                if _DW_NATIVE:
+                    mid = mid.astype(x00.dtype)
             else:
-                mid = win.astype(jnp.float32)
+                mid = win.astype(_dw_dtype(win.dtype))
             mid = _mask_rows(mid)
         for j, si, sj in q_taps:
             start = wpad + si * w2 + sj
             xs = jax.lax.slice_in_dim(mid, start, start + tile_p, axis=1)
-            term = wdw_ref[j].astype(jnp.float32) * xs
+            term = wdw_ref[j].astype(xs.dtype) * xs
             if sj == -1:
                 part_m = term if part_m is None else part_m + term
             else:
                 part_0 = term if part_0 is None else part_0 + term
     p = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
-    acc = part_0 + part_m * ((p % w2) >= 1).astype(jnp.float32)
+    acc = part_0 + part_m * ((p % w2) >= 1).astype(part_m.dtype)
     acc = jnp.clip(acc + bdw_ref[:].astype(jnp.float32), 0.0, 6.0)
     y = jax.lax.dot_general(
         wproj_ref[0], acc.astype(wproj_ref.dtype), (((1,), (0,)), ((), ())),
@@ -1128,7 +1156,14 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
                                                            h2 * w2)
         q_arrays = [(xq, q) for q in range(4)]
 
-    budget_px = max(1024, int(_INVRES_BUDGET / (4 * cmid)))
+    # block-diag quadrant-stacked expand (see _invres_s2_kernel): raises
+    # the expand dot's K from C to 4C — only pays while 4C <= 128
+    stacked = expand and 4 * c <= 128
+    # VMEM sizing: the plain kernel keeps ~one quadrant's f32 mid plus two
+    # partials (~3*cmid rows) live; in stacked mode mid_all holds 4*cmid
+    # f32 rows through the whole tap loop plus the partials and the 4C-row
+    # stacked window — roughly double — so halve the pixel budget there.
+    budget_px = max(1024, int(_INVRES_BUDGET / ((8 if stacked else 4) * cmid)))
     target = max(2, min(h2, max(budget_px // w2, 2)))
     rows = _pick_divisor_rows(h2, w2, target, min(h2, target * 4))
     if rows is None:
@@ -1153,9 +1188,6 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
                 for a, pi in q_arrays]
     tile_p = rows * w2
     n_tiles = hp2 * w2 // tile_p
-    # block-diag quadrant-stacked expand (see _invres_s2_kernel): raises
-    # the expand dot's K from C to 4C — only pays while 4C <= 128
-    stacked = expand and 4 * c <= 128
     if expand:
         we = jnp.transpose(w_exp, (0, 1, 3, 2)).reshape(cmid, c)
         if stacked:

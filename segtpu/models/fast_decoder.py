@@ -12,9 +12,11 @@ Eval-only by design (BN folding); training uses the NHWC reference path.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Dict, List
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -32,6 +34,57 @@ _PAIR_FUSE = os.environ.get("SEGTPU_PAIR_FUSE", "1") != "0"
 
 def _fold(p, s):
     return fold_bn(p["w"], p["scale"], p["bias"], s["mean"], s["var"])
+
+
+@functools.lru_cache(maxsize=None)
+def _shard_interp_bands(h_in: int, h_out: int, n: int,
+                        align_corners: bool):
+    """Per-shard H-interp bands for an H-sharded bilinear resize.
+
+    Returns (As [n, h_out/n, h_in/n + hu + hd] f32, hu, hd): shard s
+    applies ``As[s]`` to its local rows extended with ``hu``/``hd``
+    halo rows (fast_encoder._halo_exchange). Built by zero-padding the
+    full [h_out, h_in] 2-tap matrix and slicing per-shard row/column
+    windows — out-of-image halo columns carry ZERO weights, so the
+    zeros mesh-end shards receive from the incomplete ppermute multiply
+    away exactly and the sharded resize is bit-equal to the unsharded
+    einsum (adding 0.0 terms is exact in fp)."""
+    A = _interp_matrix(h_in, h_out, align_corners)
+    olr, ilr = h_out // n, h_in // n
+    hu = hd = 0
+    for s in range(n):
+        nz = np.nonzero(A[s * olr:(s + 1) * olr])[1]
+        hu = max(hu, s * ilr - int(nz.min()))
+        hd = max(hd, int(nz.max()) - ((s + 1) * ilr - 1))
+    Ap = np.zeros((h_out, h_in + hu + hd), np.float32)
+    Ap[:, hu:hu + h_in] = A
+    As = np.stack([Ap[s * olr:(s + 1) * olr,
+                      s * ilr:(s + 1) * ilr + hu + hd]
+                   for s in range(n)])
+    return As, hu, hd
+
+
+def _resize_chw_sp(x, out_hw, spatial, align_corners=True, acc=None):
+    """H-sharded ``_resize_chw``: x is the LOCAL [B, C, h_in/n, W] slice,
+    out_hw the FULL target. Einsum-only (the Pallas resize kernel stays
+    a single-device optimization); per-shard interp bands are selected
+    from a stacked constant by ``jax.lax.axis_index`` so all shards run
+    one program."""
+    from segtpu.models.fast_encoder import _halo_exchange
+    axis_name, n = spatial
+    b, c, hl, w = x.shape
+    h_in = hl * n
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (h_in, w) == (oh, ow):
+        return x if acc is None else x + acc
+    As, hu, hd = _shard_interp_bands(h_in, oh, n, align_corners)
+    xe = _halo_exchange(x, axis_name, hu, hd) if (hu or hd) else x
+    a = jnp.asarray(As)[jax.lax.axis_index(axis_name)]
+    y = jnp.einsum("oh,bchw->bcow", a, xe.astype(jnp.float32))
+    aw = jnp.asarray(_interp_matrix(w, ow, align_corners))
+    y = jnp.einsum("pw,bcow->bcop", aw, y)
+    y = y.astype(x.dtype)
+    return y if acc is None else y + acc
 
 
 def _resize_chw(x, out_hw, align_corners=True, acc=None, interpret=False):
@@ -68,6 +121,7 @@ class _Op:
     def __init__(self, name: str, params, stats, interpret: bool):
         self.name = name
         self.interpret = interpret
+        self.halo = 0          # conv taps' H reach (overlap-discard rows)
         if name in ("skip_connect", "none"):
             self.kind = name
         elif name == "global_average_pool":
@@ -78,6 +132,7 @@ class _Op:
         else:
             k, dil, sep = _CONV_SPECS[name]
             self.k, self.dil = k, dil
+            self.halo = dil * (k // 2)
             if sep:
                 self.kind = "sep"
                 self.reps = []
@@ -95,6 +150,20 @@ class _Op:
         partner kernel adds it in-register via vec_acc."""
         assert self.kind == "gap"
         pooled = jnp.mean(x.astype(jnp.float32), axis=(2, 3))  # [B, C]
+        return jnp.maximum(pooled @ self.wm.astype(jnp.float32)
+                           + self.b.astype(jnp.float32), 0.0)
+
+    def vector_sp(self, x_local, spatial):
+        """GAP vector over an H-sharded input: local f32 sum + psum over
+        the mesh axis / full count. Equal-size shards, so this equals
+        the unsharded mean up to f32 reassociation (the ONLY non-exact
+        reassociation in the sharded decoder; everything else is
+        overlap-discard or zero-padded-band exact)."""
+        assert self.kind == "gap"
+        axis_name, n = spatial
+        s = jnp.sum(x_local.astype(jnp.float32), axis=(2, 3))
+        s = jax.lax.psum(s, axis_name)
+        pooled = s / (x_local.shape[2] * n * x_local.shape[3])
         return jnp.maximum(pooled @ self.wm.astype(jnp.float32)
                            + self.b.astype(jnp.float32), 0.0)
 
@@ -165,9 +234,94 @@ def _node_pair(opa, xa, opb, xb, interpret: bool):
     return opb(xb, acc=opa(xa))
 
 
+def _crop_h(y, he: int):
+    return y[:, :, he:y.shape[2] - he] if he else y
+
+
+def _sh_op(op: "_Op", x, spatial, acc=None, vec_acc=None):
+    """One cell op on an H-sharded LOCAL tensor, overlap-discard style:
+    extend with the op's true halo rows (ppermute), run the UNMODIFIED
+    kernel, drop the edge rows it computed with wrong-zero padding —
+    bit-exact vs unsharded (mesh-end shards receive the same zeros SAME
+    padding would use; fast_encoder._halo_exchange). ``acc`` (a local
+    tensor) is halo-extended alongside x so the unsharded path's
+    IN-KERNEL f32 branch add is preserved exactly (a post-crop bf16 add
+    would double-round)."""
+    from segtpu.models.fast_encoder import _halo_exchange
+    axis_name, _ = spatial
+    if op.kind in ("none", "skip_connect"):
+        return op(x, acc=acc, vec_acc=vec_acc)
+    if op.kind == "gap":
+        y = op.vector_sp(x, spatial).astype(x.dtype)
+        y = jnp.broadcast_to(y[:, :, None, None],
+                             (x.shape[0], y.shape[1]) + x.shape[2:])
+        if acc is not None:
+            y = y + acc
+        return y if vec_acc is None else y + vec_acc[:, :, None, None]
+    he = op.halo
+
+    def ext(t):
+        return _halo_exchange(t, axis_name, he, he) if he else t
+
+    if op.kind == "sep":
+        for r, (wd, bd, wp, bp) in enumerate(op.reps):
+            last = r == len(op.reps) - 1
+            x = _crop_h(sep_conv_chw(
+                ext(x), wd, bd, wp, bp,
+                ext(acc) if (last and acc is not None) else None,
+                vec_acc if last else None,
+                k=op.k, dilation=op.dil, interpret=op.interpret), he)
+        return x
+    return _crop_h(conv_chw(ext(x), op.wf, op.bf,
+                            None if acc is None else ext(acc), vec_acc,
+                            k=op.k, dilation=op.dil,
+                            interpret=op.interpret), he)
+
+
+def _node_pair_sp(opa, xa, opb, xb, spatial, interpret: bool):
+    """Sharded cell node: both branches extended to the LARGER halo and
+    run in the fused pair kernel (ops with halo <= he are correct on the
+    interior rows; the discarded edge rows absorb the wrong zeros)."""
+    from segtpu.models.fast_encoder import _halo_exchange
+    axis_name, _ = spatial
+    fa, fb = opa.fuse_spec(), opb.fuse_spec()
+    if _PAIR_FUSE and fa is not None and fb is not None:
+        from segtpu.kernels.chw_ops import pair_op_chw
+        he = max(opa.halo, opb.halo)
+        x1 = _prefix_sp(opb, xb, spatial)
+        x2 = _prefix_sp(opa, xa, spatial)
+        if he:
+            x1 = _halo_exchange(x1, axis_name, he, he)
+            x2 = _halo_exchange(x2, axis_name, he, he)
+        return _crop_h(pair_op_chw(x1, fb[1], x2, fa[1],
+                                   op1=fb[0], op2=fa[0],
+                                   interpret=interpret), he)
+    if _PAIR_FUSE and opa.kind == "gap" and fb is not None:
+        return _sh_op(opb, xb, spatial, vec_acc=opa.vector_sp(xa, spatial))
+    if _PAIR_FUSE and opb.kind == "gap" and fa is not None:
+        return _sh_op(opa, xa, spatial, vec_acc=opb.vector_sp(xb, spatial))
+    return _sh_op(opb, xb, spatial, acc=_sh_op(opa, xa, spatial))
+
+
+def _prefix_sp(op: "_Op", x, spatial):
+    """Sharded _Op.prefix: the sep repeats before the final (fused)
+    kernel, each overlap-discard."""
+    from segtpu.models.fast_encoder import _halo_exchange
+    axis_name, _ = spatial
+    if op.kind == "sep":
+        he = op.halo
+        for wd, bd, wp, bp in op.reps[:-1]:
+            xe = _halo_exchange(x, axis_name, he, he) if he else x
+            x = _crop_h(sep_conv_chw(xe, wd, bd, wp, bp, k=op.k,
+                                     dilation=op.dil,
+                                     interpret=op.interpret), he)
+    return x
+
+
 def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
                        taps_channel_first: bool = False,
                        flat_logits: bool = False,
+                       spatial=None,
                        interpret: bool = False):
     """-> apply(taps) giving channel-first logits [B, K, h, w].
 
@@ -178,6 +332,17 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
     flat_logits: apply(taps) returns ``(flat [B, K, h*w], (h, w))``
     instead — the classifier conv's native flat layout, feeding
     kernels.upsample_argmax.upsample_argmax_flat retile-free.
+
+    spatial: ``(axis_name, n_shards)`` — H-sharded manual-SPMD mode
+    (SURVEY §5.7, VERDICT r3 next#3). Taps enter as LOCAL H-slices;
+    apply returns LOCAL logit rows [B, K, h/n, w]. Per block: the cell
+    runs shard-local with overlap-discard halo exchanges when the
+    block's local rows cover the largest op halo (the high-resolution
+    blocks, which carry ~all the decoder FLOPs); smaller blocks compute
+    REPLICATED (their tensors are tiny — at 1024x2048/8 shards only the
+    1/4- and 1/8-res blocks shard, and they are ~94%% of decoder px).
+    GAP branches psum. flat_logits is not supported here (the sharded
+    tail takes 4-D rows).
     """
     validate_genotype(genotype, num_inputs=len(params["adapt"]))
     cell_config, conns = genotype
@@ -205,6 +370,107 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
 
     def pw(x, wf, bf, relu=True):
         return conv_chw(x, wf, bf, k=1, relu=relu, interpret=interpret)
+
+    if spatial is not None:
+        assert not flat_logits, "sharded decoder emits 4-D local rows"
+        axis_name, n_sh = spatial
+        halo_req = max([blocks[0]["node0"].halo] +
+                       [max(a.halo, b.halo)
+                        for a, b in blocks[0]["nodes"]]) if blocks else 0
+
+        def _local(entry, rows_full):
+            t, is_local = entry
+            if is_local:
+                return t
+            lr = rows_full // n_sh
+            return jax.lax.dynamic_slice_in_dim(
+                t, jax.lax.axis_index(axis_name) * lr, lr, axis=2)
+
+        def _full(entry):
+            t, is_local = entry
+            if not is_local:
+                return t
+            return jax.lax.all_gather(t, axis_name, axis=2, tiled=True)
+
+        def _resize_any(entry, hw, acc=None, shard: bool = False):
+            """Resize a pool entry (replicated or local) to FULL hw,
+            returning a local slice (shard=True) or the full tensor."""
+            t, is_local = entry
+            if shard:
+                fh = t.shape[2] * (n_sh if is_local else 1)
+                ok = fh % n_sh == 0
+                if ok and fh != hw[0]:
+                    # the halo exchange reaches ONE neighbour shard
+                    _, hu, hd = _shard_interp_bands(fh, int(hw[0]), n_sh,
+                                                    align_corners)
+                    ok = max(hu, hd) <= fh // n_sh
+                if ok:
+                    return _resize_chw_sp(_local(entry, fh), hw,
+                                          spatial, align_corners, acc=acc)
+                # fall back: full resize then take the local slice
+                y = _resize_chw(_full(entry), hw, align_corners,
+                                interpret=interpret)
+                y = jax.lax.dynamic_slice_in_dim(
+                    y, jax.lax.axis_index(axis_name) * (hw[0] // n_sh),
+                    hw[0] // n_sh, axis=2)
+                return y if acc is None else y + acc
+            return _resize_chw(_full(entry), hw, align_corners, acc=acc,
+                               interpret=interpret)
+
+        def apply_sp(taps):
+            # pool entries: (tensor, is_local) — taps enter LOCAL
+            pool: List[Any] = [(pw(t, wf, bf), True)
+                               for t, (wf, bf) in zip(taps, adapts)]
+            for blk, (i, j) in zip(blocks, conns):
+                fhw = []
+                for e in (pool[i], pool[j]):
+                    t, il = e
+                    fhw.append((t.shape[2] * (n_sh if il else 1),
+                                t.shape[3]))
+                hw = (max(f[0] for f in fhw), max(f[1] for f in fhw))
+                # shard this block iff every shard's rows cover the
+                # cell's largest op halo (ppermute reaches one
+                # neighbour; taller halos would need multi-hop)
+                shard = hw[0] % n_sh == 0 and \
+                    hw[0] // n_sh >= max(halo_req, 1) and \
+                    all(f[0] % n_sh == 0 for f in fhw)
+                e1, e2 = pool[i], pool[j]
+                y1 = (pw(e1[0], *blk["agg1"]), e1[1])
+                y2 = (pw(e2[0], *blk["agg2"]), e2[1])
+                f1 = y1[0].shape[2] * (n_sh if y1[1] else 1)
+                f2 = y2[0].shape[2] * (n_sh if y2[1] else 1)
+                if f2 == hw[0] and y2[0].shape[3] == hw[1] and \
+                        (f1 != hw[0] or y1[0].shape[3] != hw[1]):
+                    y1, y2 = y2, y1
+                y = _resize_any(y2, hw, shard=shard,
+                                acc=_resize_any(y1, hw, shard=shard))
+                if shard:
+                    outs = [y, _sh_op(blk["node0"], y, spatial)]
+                    for (opa, opb), (p1, p2, _, _) in zip(blk["nodes"],
+                                                          cell_config[1:]):
+                        outs.append(_node_pair_sp(opa, outs[p1], opb,
+                                                  outs[p2], spatial,
+                                                  interpret))
+                else:
+                    outs = [y, blk["node0"](y)]
+                    for (opa, opb), (p1, p2, _, _) in zip(blk["nodes"],
+                                                          cell_config[1:]):
+                        outs.append(_node_pair(opa, outs[p1], opb,
+                                               outs[p2], interpret))
+                acc = None
+                for ci in cell_collect:
+                    acc = outs[ci] if acc is None else acc + outs[ci]
+                pool.append((acc, shard))
+            hw = (max(pool[i][0].shape[2] * (n_sh if pool[i][1] else 1)
+                      for i in collect),
+                  max(pool[i][0].shape[3] for i in collect))
+            assert hw[0] % n_sh == 0, (hw, n_sh)
+            feats = jnp.concatenate(
+                [_resize_any(pool[i], hw, shard=True) for i in collect],
+                axis=1)
+            return pw(feats, clf_w, clf_b, relu=False)   # local rows
+
+        return apply_sp
 
     def apply(taps):
         pool: List[Any] = []

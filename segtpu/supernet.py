@@ -443,13 +443,16 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
 
     for rnd in range(cfg.num_iters):
         t0 = time.time()
-        genos, acts, lps = [], [], []
+        genos, acts, lps, ents = [], [], [], []
         for i in range(population):
             kk = jax.random.fold_in(jax.random.fold_in(k_loop, rnd), i)
-            g, a, lp, _ = sample_genotype(agent, kk)
+            g, a, lp, ent = sample_genotype(agent, kk)
             genos.append(g)
             acts.append(a)
             lps.append(lp)
+            # summed slot entropy (nats) — exploration-collapse signal
+            # for the per-round summary (VERDICT r3 next#8)
+            ents.append(float(jnp.sum(ent)))
         masks = masks_vec(jnp.stack(acts))
         pop = population_init(jax.random.fold_in(k_pop, rnd), spec,
                               MBV2_TAP_CHANNELS, optimizer, population,
@@ -470,7 +473,8 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
         for i in range(population):
             saver.record(rnd * population + i, genos[i], rewards[i],
                          {"round": rnd, "mode": "supernet",
-                          "baseline": float(agent.state.baseline)})
+                          "baseline": float(agent.state.baseline),
+                          "entropy": round(ents[i], 4)})
         log.info("supernet round %d: %d archs in %.1fs rewards %s", rnd,
                  population, time.time() - t0,
                  [round(float(r), 4) for r in rewards])

@@ -69,6 +69,7 @@ def test_fast_encoder_matches_reference(fmt):
 @pytest.mark.parametrize("t,cin,cout", [
     (6, 16, 24),
     (1, 32, 16),
+    (6, 32, 64),   # stacked gate boundary: 4*C == 128 with expand (b3-s2)
 ])
 def test_inv_res_s2_kernel_matches_reference(t, cin, cout):
     from segtpu.kernels.chw_ops import inv_res_s2_chw

@@ -10,9 +10,11 @@ from segtpu.core.layers import (
 
 
 def _torch_conv(x_nhwc, w_hwio, stride=1, dilation=1, groups=1):
-    x = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+    # np.copy: the inputs may be non-writable views of jax arrays, which
+    # torch.from_numpy warns about.
+    x = torch.from_numpy(np.copy(np.transpose(x_nhwc, (0, 3, 1, 2))))
     # HWIO -> OIHW
-    w = torch.from_numpy(np.transpose(w_hwio, (3, 2, 0, 1)))
+    w = torch.from_numpy(np.copy(np.transpose(w_hwio, (3, 2, 0, 1))))
     k = w_hwio.shape[0]
     pad = dilation * (k - 1) // 2
     y = torch.nn.functional.conv2d(x, w, stride=stride, padding=pad,
@@ -44,10 +46,10 @@ def test_bn_eval_matches_torch():
     assert s2 is s
     bn = torch.nn.BatchNorm2d(4, eps=1e-5).eval()
     with torch.no_grad():
-        bn.weight.copy_(torch.from_numpy(np.asarray(p["scale"])))
-        bn.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
-        bn.running_mean.copy_(torch.from_numpy(np.asarray(s["mean"])))
-        bn.running_var.copy_(torch.from_numpy(np.asarray(s["var"])))
+        bn.weight.copy_(torch.from_numpy(np.copy(p["scale"])))
+        bn.bias.copy_(torch.from_numpy(np.copy(p["bias"])))
+        bn.running_mean.copy_(torch.from_numpy(np.copy(s["mean"])))
+        bn.running_var.copy_(torch.from_numpy(np.copy(s["var"])))
         want = bn(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
     np.testing.assert_allclose(np.asarray(got),
                                np.transpose(want.numpy(), (0, 2, 3, 1)),
