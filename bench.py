@@ -93,12 +93,20 @@ def main():
     from segtpu.engine.inference import _stage_u8
     frames = jax.device_put(_stage_u8(frames_host)[0], dev)
 
-    # warm-start split (VERDICT r3 next#6): Python tracing+STABLEHLO
-    # lowering vs XLA compile (a persistent-cache HIT on a warm machine)
-    # vs first execution. `compile_s` = their sum (first dispatch wall).
+    # warm-start split (VERDICT r3 next#6): Python trace+lower (or an
+    # AOT-store deserialize on a warm machine — segtpu.utils.aot) vs XLA
+    # compile (a persistent-cache HIT when warm) vs first execution.
+    # `compile_s` = their sum (first dispatch wall).
+    from segtpu.utils.aot import aot_jit
     t0 = time.time()
-    lowered = step.lower(params, stats, frames)
+    prog = aot_jit(
+        lambda p, s, f: step(p, s, f),
+        repr(("bench", arch, (h, w), num_classes, batch, scan,
+              use_pallas)),
+        params, stats, frames)
+    lowered = prog.lower(params, stats, frames)
     trace_s = time.time() - t0
+    aot_hit = bool(getattr(prog, "aot_hit", False))
     t0 = time.time()
     compiled = lowered.compile()
     xla_compile_s = time.time() - t0
@@ -165,11 +173,14 @@ def main():
         # compilation cache (segtpu.utils.cache) a warm machine reloads
         # the program instead of recompiling — compare across runs
         "compile_s": round(compile_s, 1),
-        # the split: trace_s = Python tracing + StableHLO lowering;
+        # the split: trace_s = Python tracing + StableHLO lowering (an
+        # AOT-store deserialize when aot_hit — segtpu.utils.aot);
         # xla_compile_s = XLA compile (persistent-cache hit when warm);
         # first_exec_s = first dispatch (data staging + run)
         "trace_s": round(trace_s, 1),
         "xla_compile_s": round(xla_compile_s, 1),
+        "first_exec_s": round(first_exec_s, 1),
+        "aot_hit": aot_hit,
         "compile_cache": bool(cache_dir),
     }
     if roof is not None:

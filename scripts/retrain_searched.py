@@ -72,6 +72,11 @@ def to_py(g):
 
 
 def main():
+    # pin CPU in-process: the axon sitecustomize force-registers the TPU
+    # plugin and env-var overrides don't stick (see tests/conftest.py) —
+    # this job must not contend with TPU bench/trace work
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     from segtpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import logging

@@ -537,8 +537,14 @@ class Segmenter:
         self._device = device
         self._cache: Dict[Tuple, object] = {}
 
-    def _compiled(self, hw: Tuple[int, int], return_logits: bool = False):
-        key = (hw, return_logits)
+    def _compiled(self, hw: Tuple[int, int], return_logits: bool,
+                  staged_shape: Tuple[int, ...]):
+        """Per-(shape-bucket, staged-batch-shape) compiled program,
+        served from the on-disk AOT store (segtpu.utils.aot) when a
+        matching export exists — a warm process skips the minutes of
+        Python tracing per bucket (VERDICT r3 next#6). Exports are
+        shape-specialized, so the staged input shape is in the key."""
+        key = (hw, return_logits, tuple(staged_shape))
         if key not in self._cache:
             fn = build_infer_fn(self.genotype, num_classes=self.num_classes,
                                 input_hw=hw, align_corners=self.align_corners,
@@ -546,15 +552,22 @@ class Segmenter:
                                 return_logits=return_logits)
             # note: the uint8 input is not donated — its shape/dtype never
             # matches an output buffer, so donation only produces warnings
-            self._cache[key] = jax.jit(fn)
+            from segtpu.utils.aot import aot_jit
+            img = jax.ShapeDtypeStruct(tuple(staged_shape), jnp.uint8)
+            akey = repr((self.genotype, self.num_classes, hw,
+                         self.align_corners, str(self.compute_dtype),
+                         return_logits, tuple(staged_shape)))
+            self._cache[key] = aot_jit(fn, akey, self._params,
+                                       self._stats, img)
         return self._cache[key]
 
     def predict(self, img_u8, *, return_logits: bool = False):
         """Single image or batch; blocks and returns numpy."""
         img_u8 = np.ascontiguousarray(img_u8, dtype=np.uint8)
         hw = img_u8.shape[-3:-1]
-        fn = self._compiled((int(hw[0]), int(hw[1])), return_logits)
         staged, squeeze = _stage_u8(img_u8)
+        fn = self._compiled((int(hw[0]), int(hw[1])), return_logits,
+                            staged.shape)
         out = fn(self._params, self._stats,
                  jax.device_put(staged, self._device))
         out = np.asarray(out)
@@ -584,7 +597,8 @@ class Segmenter:
                 nxt = _stage(next(it))
             except StopIteration:
                 nxt = None
-            fn = self._compiled((int(hw[0]), int(hw[1])))
+            fn = self._compiled((int(hw[0]), int(hw[1])), False,
+                                cur.shape)
             out = fn(self._params, self._stats, cur)
             out = out[0] if squeeze else out
             if pending is not None:

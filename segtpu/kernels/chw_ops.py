@@ -50,6 +50,12 @@ _TILE_PX = int(os.environ.get("SEGTPU_TILE_PX", "32768"))
 _INVRES_BUDGET = float(os.environ.get("SEGTPU_INVRES_BUDGET", "6e6"))
 #: Depthwise tap loops accumulate in the input's NATIVE dtype (bf16 in
 #: production) instead of f32 when 1. A/B knob — see _dw_tap_sum.
+#: MEASURED NEGATIVE on v5e (round 4, 1024x2048 b8 traces): 13.33 ->
+#: 19.85 ms/dispatch — every dw kernel ~doubled (invres.9 0.89->1.58,
+#: sep.11 0.64->1.33, pair.11 0.74->1.39). Mosaic lowers bf16 VPU
+#: adds/muls through f32 with per-op converts, so "half the data" buys
+#: nothing and the converts dominate. Default stays f32 stacks (one
+#: convert at stack build, exact accumulation, XLA-dw parity).
 _DW_NATIVE = os.environ.get("SEGTPU_DW_NATIVE", "0") == "1"
 #: Max c*taps for the dense-conv dx-group im2col path (stacked tap
 #: slices raise the MXU dot's K from C to taps_in_group*C). Round-4 A/B
@@ -190,12 +196,17 @@ def _act(y, relu):
 
 
 def _pw_kernel(wm_ref, b_ref, *refs, relu, has_acc: bool,
-               has_vec: bool = False):
+               has_vec: bool = False, rows_w=None):
     """1x1 conv: no halo, no masks — one MXU dot per tile. With has_acc
     the last input is summed into the (post-activation) result — fusing
     the cell-node branch add saves one HBM round-trip per node. has_vec
     adds a per-(batch, channel) [C, 1] vector instead (a GAP branch
     partner — the broadcast never materializes).
+
+    rows_w=(rows, w): store the tile as a 4-D (C, rows, w) block — an
+    in-register lane->sublane retile Mosaic lowers fine (measured ~free
+    in-kernel on v5e), replacing the 0.29 ms/b8 XLA (C,px)->(h,w) copy
+    the 4-D banded tail otherwise forces after the classifier.
 
     Dot operands keep their NATIVE dtype (bf16 in production) with f32
     accumulation — f32 operands quarter the MXU rate; bf16-in/f32-accum
@@ -211,7 +222,10 @@ def _pw_kernel(wm_ref, b_ref, *refs, relu, has_acc: bool,
         extra += 1
     if has_vec:
         y = y + refs[extra][0].astype(jnp.float32)   # [C, 1] broadcast
-    out_ref[0] = y.astype(out_ref.dtype)
+    if rows_w is not None:
+        out_ref[0] = y.reshape(y.shape[0], *rows_w).astype(out_ref.dtype)
+    else:
+        out_ref[0] = y.astype(out_ref.dtype)
 
 
 def _conv_body(wm_ref, b_ref, stack, *, taps, depthwise: bool, w: int,
@@ -469,12 +483,13 @@ def _lane_round(rows: int, w: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "dilation", "depthwise",
-                                             "relu", "flat_out",
+                                             "relu", "flat_out", "out_4d",
                                              "interpret"))
 def conv_chw(x, w_folded, bias, acc=None, vec_acc=None, *, k: int,
              dilation: int = 1,
              depthwise: bool = False, relu: bool = True,
-             flat_out: bool = False, interpret: bool = False):
+             flat_out: bool = False, out_4d: bool = False,
+             interpret: bool = False):
     """x [B, C, H, W]; w_folded HWIO (BN pre-folded) -> [B, Cout, H, W].
     acc: optional [B, Cout, H, W] summed into the activated result
     in-kernel (fused branch add). vec_acc: optional [B, Cout] per-
@@ -484,7 +499,9 @@ def conv_chw(x, w_folded, bias, acc=None, vec_acc=None, *, k: int,
     return the kernel's NATIVE flat [B, Cout, H*W] (C-sublane, px-lane)
     layout — consumers like kernels.upsample_argmax.upsample_argmax_flat
     read it with no (C,px)->(h,w) retile (0.288 ms/b8-dispatch at
-    8x19x256x512 in the round-3 trace)."""
+    8x19x256x512 in the round-3 trace). out_4d (k=1 path only): store
+    4-D [B, Cout, H, W] directly via an in-kernel lane->sublane retile —
+    same bytes as reshape-after, minus the XLA copy (see _pw_kernel)."""
     b, c, h, w = x.shape
     if depthwise:
         wm = jnp.transpose(w_folded, (0, 1, 3, 2)).reshape(k * k, c, 1)
@@ -512,12 +529,28 @@ def conv_chw(x, w_folded, bias, acc=None, vec_acc=None, *, k: int,
             pl.BlockSpec((1, c_out, 1), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM)]
     if k == 1 and not depthwise:
-        # pointwise fast path: single view, no halo, no masks
+        # pointwise fast path: single view, no halo, no masks.
+        # The in-kernel (C, px)->(C, rows, w) retile is a pure shape
+        # cast only when w is a lane multiple — Mosaic rejects the
+        # vector reshape otherwise ("unsupported shape cast" at w=64,
+        # caught on hardware); fall back to reshape-after-store.
+        out_4d = out_4d and w % 128 == 0
+        if out_4d:
+            out_shape = jax.ShapeDtypeStruct((b, c_out, hp, w), x.dtype)
+            out_spec = pl.BlockSpec((1, c_out, rows, w),
+                                    lambda bi, i: (bi, 0, i, 0),
+                                    memory_space=pltpu.VMEM)
+        else:
+            out_shape = jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype)
+            out_spec = pl.BlockSpec((1, c_out, tile_p),
+                                    lambda bi, i: (bi, 0, i),
+                                    memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(_pw_kernel, relu=relu,
                               has_acc=acc is not None,
-                              has_vec=vec_acc is not None),
-            out_shape=jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype),
+                              has_vec=vec_acc is not None,
+                              rows_w=(rows, w) if out_4d else None),
+            out_shape=out_shape,
             grid=(b, n_tiles),
             in_specs=[_full_spec(wm.shape),
                       _full_spec((c_out, 1)),
@@ -525,13 +558,13 @@ def conv_chw(x, w_folded, bias, acc=None, vec_acc=None, *, k: int,
                                    lambda bi, i: (bi, 0, i),
                                    memory_space=pltpu.VMEM),
                       *acc_specs],
-            out_specs=pl.BlockSpec((1, c_out, tile_p),
-                                   lambda bi, i: (bi, 0, i),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_spec,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(wm, bias.reshape(c_out, 1), xf, *acc_ops)
+        if out_4d:
+            return out[:, :, :h]
         return (out[:, :, :h * w] if flat_out else
                 out.reshape(b, c_out, hp, w)[:, :, :h])
     taps_l = _taps(k, dilation, h, w)
@@ -1283,3 +1316,223 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     )(wexp, bexp, wdw, b_dw.reshape(cmid, 1), wproj,
       b_proj.reshape(c_out, 1), *x_ops)
     return out.reshape(b, c_out, hp2, w2)[:, :, :h2]
+
+
+# ---------------------------------------------------------------------------
+# Whole-cell fusion (VERDICT r3 next#1): every node of a NAS cell in ONE
+# kernel. The pair kernel (pair_op_chw) fused the two branches of one
+# node; between NODES each intermediate still made a full HBM round trip
+# ([8,48,256,512] bf16 = 100 MB write + read per handoff at the arch0
+# headline shape — ~0.25 ms each at 819 GB/s, x4-6 handoffs per cell).
+# Here the node DAG computes per row-tile entirely in VMEM: each
+# intermediate is produced on an extended window (tile + its consumers'
+# cumulative halo rows, overlap-recompute), rounded to the output dtype
+# (bit-parity with the HBM round trip it replaces), row-masked (the
+# zeros SAME padding would supply), and consumed in-register.
+#
+# GAP branches are per-(batch, channel) VECTORS: they enter as
+# precomputed [B, C, 1] operands (fast_decoder computes them in XLA from
+# MATERIALIZED entries — a GAP over an in-kernel intermediate would need
+# the full plane before any tile could proceed, so nodes feeding GAPs
+# stay unfused; see fast_decoder._fused_cell).
+# ---------------------------------------------------------------------------
+
+
+def _cell_kernel(*refs, plan, h: int, w: int, tile_p: int,
+                 center_valid: bool):
+    """plan = (src_exts_px, nodes, collect, n_wrefs, n_vecs); nodes =
+    ((ext_px, branches), ...); branch = (entry, kind, k, dil, im2col,
+    wstart, vec_idx). Entry indexing: 0..n_srcs-1 = HBM sources,
+    n_srcs+i = fused node i. ref layout: [weight refs] + [vec refs] +
+    [xm, x0, xp per source] + [out]."""
+    src_exts, nodes, collect, n_w, n_vec = plan
+    out_ref = refs[-1]
+    ti = pl.program_id(1)
+    row0 = ti * (tile_p // w)
+    vec_refs = refs[n_w:n_w + n_vec]
+    view_refs = refs[n_w + n_vec:-1]
+
+    entries = []  # (window value, ext_px); srcs native dtype, nodes bf16
+    for si, ext_px in enumerate(src_exts):
+        xm, x0, xp = view_refs[3 * si:3 * si + 3]
+        win = _masked_stack(xm, x0, xp, row0, tile_p, w, h, ext_px,
+                            center_valid, dtype=x0.dtype)
+        entries.append((win, ext_px))
+
+    def branch_val(br, out_ext):
+        entry, kind, k, dil, im2, wstart, vec_idx = br
+        if kind == "none":
+            return None
+        if kind == "vec":
+            return vec_refs[vec_idx][0].astype(jnp.float32)     # [C, 1]
+        src, src_ext = entries[entry]
+        tp = tile_p + 2 * out_ext
+        if kind == "skip":
+            xs = jax.lax.slice_in_dim(src, src_ext - out_ext,
+                                      src_ext - out_ext + tp, axis=1)
+            return xs.astype(jnp.float32)
+        # +1 row beyond the tap reach covers the corner taps' dx lanes
+        # (same invariant as conv_chw's halo_rows = dmax_dy + 1)
+        halo_px = ((dil * (k // 2) + 1) * w) if k > 1 else 0
+        off = src_ext - out_ext - halo_px
+        xs = jax.lax.slice_in_dim(src, off, off + tp + 2 * halo_px,
+                                  axis=1)
+        taps = _taps(k, dil, h, w)
+        if kind == "sep":
+            wd, bd, wp, bp = refs[wstart:wstart + 4]
+            return _sep_body(wd, bd, wp, bp, xs.astype(_dw_dtype(xs.dtype)),
+                             taps=taps, w=w, tile_p=tp, halo_px=halo_px)
+        wm, bb = refs[wstart:wstart + 2]
+        return _conv_body(wm, bb, xs, taps=taps, depthwise=False, w=w,
+                          tile_p=tp, halo_px=halo_px, relu=True,
+                          im2col=im2)
+
+    c_out = out_ref.shape[1]
+    for ext_px, branches in nodes:
+        total, vec = None, None
+        for br in branches:
+            v = branch_val(br, ext_px)
+            if br[1] == "vec":
+                vec = v
+            elif v is not None:
+                total = v if total is None else total + v
+        if total is None:
+            total = jnp.zeros((c_out, tile_p + 2 * ext_px), jnp.float32)
+        if vec is not None:
+            total = total + vec
+        # round to the inter-op dtype (bit-parity with the HBM handoff
+        # this fusion removes), then zero out-of-image rows ONCE — the
+        # consumers' taps then read exactly SAME padding's zeros
+        val = total.astype(out_ref.dtype)
+        if ext_px or not center_valid:
+            p = jax.lax.broadcasted_iota(
+                jnp.int32, (1, tile_p + 2 * ext_px), 1)
+            r = row0 - ext_px // w + p // w
+            val = jnp.where((r >= 0) & (r < h), val, jnp.zeros_like(val))
+        entries.append((val, ext_px))
+
+    acc = None
+    for e in collect:
+        v, ext = entries[e]
+        xs = jax.lax.slice_in_dim(v, ext, ext + tile_p, axis=1)
+        xs = xs.astype(out_ref.dtype)
+        acc = xs if acc is None else acc + xs   # same-order bf16 adds as
+    out_ref[0] = acc                            # the unfused XLA epilogue
+
+
+def cell_op_chw(srcs, nodes_desc, collect, *, interpret: bool = False):
+    """Fused cell suffix: nodes (each a list of branch descriptors) over
+    ``srcs`` (materialized [B, C, H, W] entries), returning the bf16
+    collect sum [B, C, H, W]. Branch descriptor dicts:
+
+      {kind: 'conv', entry, k, dil, w_folded, bias}
+      {kind: 'sep',  entry, k, dil, wdw, bdw, wpw, bpw}   (one rep)
+      {kind: 'skip', entry} | {kind: 'none'}
+      {kind: 'vec',  vec: [B, C] f32}                      (GAP branch)
+
+    ``entry`` indexes srcs then fused nodes (srcs + node order).
+    Returns None when the shape/plan is ineligible (caller falls back to
+    the per-node kernels): w % 128 != 0, no divisor row tile, or a
+    source halo exceeding one neighbour tile."""
+    b, c, h, w = srcs[0].shape
+    if w % 128 != 0:
+        return None
+    n_srcs = len(srcs)
+    n_entries = n_srcs + len(nodes_desc)
+
+    def _halo_rows_of(br):
+        if br["kind"] in ("conv", "sep"):
+            return br["dil"] * (br["k"] // 2) + 1 if br["k"] > 1 else 0
+        return 0
+
+    # backward halo propagation: entry ext (rows) = max over consumers
+    # of consumer_ext + branch reach
+    ext = [0] * n_entries
+    for i in range(len(nodes_desc) - 1, -1, -1):
+        e_i = ext[n_srcs + i]
+        for br in nodes_desc[i]:
+            if br["kind"] in ("conv", "sep", "skip"):
+                need = e_i + _halo_rows_of(br)
+                ext[br["entry"]] = max(ext[br["entry"]], need)
+
+    max_ext = max(ext) if ext else 0
+    target = max(_TILE_PX // w, max_ext + 1, 2)
+    rows = _pick_divisor_rows(h, w, target, min(h, target * 4),
+                              floor=max(max_ext + 1, 2))
+    if rows is None or rows <= max_ext:
+        return None
+    tile_p = rows * w
+    n_tiles = h // rows
+
+    # assemble weight operands + static plan
+    wrefs, wspecs, plan_nodes, vecs = [], [], [], []
+    for i, branches in enumerate(nodes_desc):
+        pbrs = []
+        for br in branches:
+            kind = br["kind"]
+            if kind == "conv":
+                taps_l = _taps(br["k"], br["dil"], h, w)
+                wm = jnp.transpose(br["w_folded"], (0, 1, 3, 2)).reshape(
+                    br["k"] ** 2, br["w_folded"].shape[3],
+                    br["w_folded"].shape[2]).astype(srcs[0].dtype)
+                im2 = (br["w_folded"].shape[2] * len(taps_l)
+                       <= _IM2COL_MAX)
+                if im2:
+                    order = [j for dx in sorted({t[2] for t in taps_l})
+                             for j, _, dxt in taps_l if dxt == dx]
+                    wm = jnp.transpose(
+                        jnp.stack([wm[j] for j in order], 0),
+                        (1, 0, 2)).reshape(1, wm.shape[1],
+                                           len(taps_l) * wm.shape[2])
+                wstart = len(wrefs)
+                wrefs += [wm, br["bias"].reshape(-1, 1)]
+                pbrs.append((br["entry"], "conv", br["k"], br["dil"],
+                             im2, wstart, None))
+            elif kind == "sep":
+                cin = br["wdw"].shape[2]
+                wdw = jnp.transpose(br["wdw"], (0, 1, 3, 2)).reshape(
+                    br["k"] ** 2, cin, 1)
+                co = br["wpw"].shape[3]
+                wpw = jnp.transpose(br["wpw"], (0, 1, 3, 2)).reshape(
+                    1, co, cin).astype(srcs[0].dtype)
+                wstart = len(wrefs)
+                wrefs += [wdw, br["bdw"].reshape(cin, 1), wpw,
+                          br["bpw"].reshape(co, 1)]
+                pbrs.append((br["entry"], "sep", br["k"], br["dil"],
+                             False, wstart, None))
+            elif kind == "skip":
+                pbrs.append((br["entry"], "skip", 1, 1, False, 0, None))
+            elif kind == "vec":
+                vecs.append(br["vec"].reshape(b, c, 1).astype(jnp.float32))
+                pbrs.append((0, "vec", 1, 1, False, 0, len(vecs) - 1))
+            else:
+                pbrs.append((0, "none", 1, 1, False, 0, None))
+        plan_nodes.append((ext[n_srcs + i] * w, tuple(pbrs)))
+    wspecs = [_full_spec(wa.shape) for wa in wrefs]
+    vspecs = [pl.BlockSpec((1, c, 1), lambda bi, i: (bi, 0, 0),
+                           memory_space=pltpu.VMEM) for _ in vecs]
+
+    views, vsp, src_exts = [], [], []
+    for s, e in zip(srcs, ext[:n_srcs]):
+        xf, hp = _flatten(s, rows)
+        assert hp == h
+        hr = _halo_rows(rows, w, max(min(e, rows), 1))
+        src_exts.append(hr * w)
+        views += [xf, xf, xf]
+        vsp += _x_specs(s.shape[1], tile_p, n_tiles, w, hr)
+
+    plan = (tuple(src_exts), tuple(plan_nodes), tuple(collect),
+            len(wrefs), len(vecs))
+    out = pl.pallas_call(
+        functools.partial(_cell_kernel, plan=plan, h=h, w=w,
+                          tile_p=tile_p, center_valid=True),
+        out_shape=jax.ShapeDtypeStruct((b, c, h * w), srcs[0].dtype),
+        grid=(b, n_tiles),
+        in_specs=[*wspecs, *vspecs, *vsp],
+        out_specs=pl.BlockSpec((1, c, tile_p), lambda bi, i: (bi, 0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*wrefs, *vecs, *views)
+    return out.reshape(b, c, h, w)

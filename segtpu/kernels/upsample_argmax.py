@@ -76,7 +76,7 @@ def _kernel(starts_ref, ah_ref, awt_ref, *refs, num_classes: int,
 
     starts_ref: [n_h] int32 row-window starts (scalar prefetch)
     ah_ref    : [1, TILE_H, band_h] H-interp band for tile i (f32)
-    awt_ref   : [n_w, band_w, 128] W-interp bands, transposed (f32)
+    awt_ref   : [n_w, band_w, wchunk] W-interp bands, transposed (f32)
     refs      : band_h/16 input-row views, each a [1, 1, 16, w] block at
                 16-row index starts[i]//16 + j (the round-2 kernel read
                 the FULL class plane per (tile, class) step — n_h-fold
@@ -138,14 +138,14 @@ def _h_bands(h, h16, grid_h, align_corners, row0: int, rows_out: int,
 
 def _ua_core(x, ah, h_starts, awt, w_starts, *, k: int, tile_h: int,
              band_h: int, band_w: int, h_pad: int, w_pad: int,
-             interpret: bool):
+             wchunk: int, interpret: bool):
     """The banded upsample+argmax pallas_call. ``ah`` ([n_h, tile_h,
     band_h]) and ``h_starts`` ([n_h] i32, 16-aligned) may be TRACED
     arrays — the sharded wrapper selects a per-shard block of stacked
     constants with ``jax.lax.axis_index`` (shard-static banding would
     need one program per shard otherwise)."""
     b, _, _, w = x.shape
-    n_h, n_w = h_pad // tile_h, w_pad // 128
+    n_h, n_w = h_pad // tile_h, w_pad // wchunk
     n_views = band_h // 16
 
     def x_view(j):
@@ -168,7 +168,7 @@ def _ua_core(x, ah, h_starts, awt, w_starts, *, k: int, tile_h: int,
                 pl.BlockSpec((1, tile_h, band_h),
                              lambda bi, i, kk, s: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_w, band_w, 128),
+                pl.BlockSpec((n_w, band_w, wchunk),
                              lambda bi, i, kk, s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 *[x_view(j) for j in range(n_views)],
@@ -183,14 +183,35 @@ def _ua_core(x, ah, h_starts, awt, w_starts, *, k: int, tile_h: int,
     )(h_starts, ah, awt, *[x] * n_views)
 
 
-def _band_sizes(h, h16, w, grid_h, grid_w, tile_h):
+import os
+
+#: W-interp chunk width override for A/Bs (0 = auto; see _wchunk)
+_TAIL_WCHUNK = int(os.environ.get("SEGTPU_TAIL_WCHUNK", "0"))
+
+
+def _wchunk(w_pad: int) -> int:
+    """Lane width of one W-interp output chunk. 128 (the round-3 value)
+    leaves the W dot MXU-depth-starved at 4x upsample: K = band_w ~= 40
+    of the MXU's 128, ~31% util. v5e A/B at 1024x2048 b8: 512-wide
+    chunks (K=136, which crosses the 128 K-tile boundary -> 2 MXU
+    passes) REGRESSED the tail 0.77 -> 1.15 ms; 256-wide (K=72, one
+    pass) is selected per the same sweep. Bit-exact either way:
+    widening a band only adds 0.0-weight terms."""
+    cands = ((_TAIL_WCHUNK,) if _TAIL_WCHUNK else (256, 128))
+    for c in cands:
+        if w_pad % c == 0:
+            return c
+    return 128
+
+
+def _band_sizes(h, h16, w, grid_h, grid_w, tile_h, wchunk: int = 128):
     # band = input span of one output tile (+2 guard), sublane-rounded.
     # The H band's dynamic start must be 16-aligned (Mosaic sublane
     # alignment for bf16 loads): widen the band by 16 for the worst-case
     # round-down loss and pad the input rows to a 16-multiple so the
     # end-of-array clamp (in_dim - band) is itself 16-aligned.
     band_h = min(h16, _round_up(-(-tile_h * h) // grid_h + 2 + 16, 16))
-    band_w = min(w, _round_up(-(-128 * w) // grid_w + 2, 8))
+    band_w = min(w, _round_up(-(-wchunk * w) // grid_w + 2, 8))
     return band_h, band_w
 
 
@@ -227,16 +248,18 @@ def upsample_argmax(logits, out_hw, *, crop_hw=None,
     # multiple (Mosaic requires 128-divisible lane blocks); crop after
     h_pad = _round_up(h_out, tile_h)
     w_pad = _round_up(w_out, 128)
-    n_w = w_pad // 128
+    wchunk = _wchunk(w_pad)
+    n_w = w_pad // wchunk
     h16 = _round_up(h, 16)
-    band_h, band_w = _band_sizes(h, h16, w, grid_h, grid_w, tile_h)
+    band_h, band_w = _band_sizes(h, h16, w, grid_h, grid_w, tile_h,
+                                 wchunk)
 
     ah, h_starts = _h_bands(h, h16, grid_h, align_corners, 0, h_out,
                             tile_h, band_h)
     aw_full = np.zeros((w_pad, w), np.float32)
     aw_full[:w_out] = _interp_matrix(w, grid_w, align_corners)[:w_out]
-    awb, w_starts = _banded(aw_full, n_w, 128, band_w)
-    awt = np.transpose(awb, (0, 2, 1))                 # [n_w, band_w, 128]
+    awb, w_starts = _banded(aw_full, n_w, wchunk, band_w)
+    awt = np.transpose(awb, (0, 2, 1))             # [n_w, band_w, wchunk]
 
     x = logits if channel_first else jnp.transpose(logits, (0, 3, 1, 2))
     if h16 != h:
@@ -245,7 +268,7 @@ def upsample_argmax(logits, out_hw, *, crop_hw=None,
     out = _ua_core(x, jnp.asarray(ah), jnp.asarray(h_starts),
                    jnp.asarray(awt), w_starts, k=k, tile_h=tile_h,
                    band_h=band_h, band_w=band_w, h_pad=h_pad, w_pad=w_pad,
-                   interpret=interpret)
+                   wchunk=wchunk, interpret=interpret)
     out = out[:, :h_out, :w_out]
     return out[0] if squeeze else out
 
@@ -278,9 +301,11 @@ def upsample_argmax_sharded(logits_local, out_hw, *, axis_name: str,
     while olr % tile_h:
         tile_h -= 1
     w_pad = _round_up(grid_w, 128)
-    n_w = w_pad // 128
+    wchunk = _wchunk(w_pad)
+    n_w = w_pad // wchunk
     h16 = _round_up(h, 16)
-    band_h, band_w = _band_sizes(h, h16, w, grid_h, grid_w, tile_h)
+    band_h, band_w = _band_sizes(h, h16, w, grid_h, grid_w, tile_h,
+                                 wchunk)
 
     bands, starts = [], []
     for s in range(n_shards):
@@ -295,14 +320,15 @@ def upsample_argmax_sharded(logits_local, out_hw, *, axis_name: str,
     if w_pad != grid_w:
         aw_full = np.concatenate(
             [aw_full, np.zeros((w_pad - grid_w, w), np.float32)], 0)
-    awb, w_starts = _banded(aw_full, n_w, 128, band_w)
+    awb, w_starts = _banded(aw_full, n_w, wchunk, band_w)
     awt = np.transpose(awb, (0, 2, 1))
 
     if h16 != h:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, h16 - h), (0, 0)))
     out = _ua_core(x, ah, h_starts, jnp.asarray(awt), w_starts, k=k,
                    tile_h=tile_h, band_h=band_h, band_w=band_w,
-                   h_pad=olr, w_pad=w_pad, interpret=interpret)
+                   h_pad=olr, w_pad=w_pad, wchunk=wchunk,
+                   interpret=interpret)
     return out[:, :, :grid_w]
 
 

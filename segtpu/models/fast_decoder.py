@@ -30,6 +30,9 @@ from segtpu.ops.layer_factory import OP_NAMES, _CONV_SPECS
 # A/B knob for the fused cell-node pair kernel; read ONCE at import
 # time (the value is baked into traced programs, like the chw_ops knobs)
 _PAIR_FUSE = os.environ.get("SEGTPU_PAIR_FUSE", "1") != "0"
+#: whole-cell fusion (kernels.chw_ops.cell_op_chw): every node of a
+#: cell in ONE kernel; 0 falls back to the per-node pair kernels
+_CELL_FUSE = os.environ.get("SEGTPU_CELL_FUSE", "1") != "0"
 
 
 def _fold(p, s):
@@ -232,6 +235,67 @@ def _node_pair(opa, xa, opb, xb, interpret: bool):
     if _PAIR_FUSE and opb.kind == "gap" and fa is not None:
         return opa(xa, vec_acc=opb.vector(xb))
     return opb(xb, acc=opa(xa))
+
+
+def _fused_cell(blk, cell_config, cell_collect, y, interpret: bool):
+    """Whole-cell fusion (VERDICT r3 next#1): run the cell's node DAG in
+    ONE kernel (kernels.chw_ops.cell_op_chw) — the per-node pair kernels
+    still hand each intermediate through HBM (100 MB round trip per node
+    at the 8x48x256x512 arch0 headline shape). GAP branches need their
+    source's FULL plane before any tile can proceed, so every node up to
+    the last GAP-read entry materializes via the per-node path and only
+    the suffix fuses (arch0: node0 materializes — its GAP partner reads
+    it — and nodes 1-3 fuse). Returns None when ineligible (multi-rep
+    sep ops, w%128!=0, no divisor row tile, halos past one neighbour
+    tile); the caller falls back to the per-node loop."""
+    if not _CELL_FUSE:
+        return None
+    all_nodes = [[(blk["node0"], 0)]]
+    for (opa, opb), (p1, p2, _, _) in zip(blk["nodes"], cell_config[1:]):
+        all_nodes.append([(opa, p1), (opb, p2)])
+    start = 0     # first fused node index = last GAP-read entry
+    for branches in all_nodes:
+        for op, src in branches:
+            if op.kind == "gap":
+                start = max(start, src)
+    if start >= len(all_nodes):
+        return None
+    for branches in all_nodes[start:]:
+        for op, _ in branches:
+            if op.kind == "sep" and len(op.reps) != 1:
+                return None
+    # materialize the prefix with the per-node kernels
+    outs = [y]
+    if start >= 1:
+        outs.append(blk["node0"](y))
+    for i in range(1, start):
+        (opa, p1), (opb, p2) = all_nodes[i]
+        outs.append(_node_pair(opa, outs[p1], opb, outs[p2], interpret))
+    # entry indices are UNCHANGED under fusion: srcs = outs (entries
+    # 0..start), fused node j emits entry start+1+j = its outs index
+    nodes_desc = []
+    for branches in all_nodes[start:]:
+        descs = []
+        for op, src in branches:
+            if op.kind == "conv":
+                descs.append(dict(kind="conv", entry=src, k=op.k,
+                                  dil=op.dil, w_folded=op.wf,
+                                  bias=op.bf))
+            elif op.kind == "sep":
+                wd, bd, wp, bp = op.reps[0]
+                descs.append(dict(kind="sep", entry=src, k=op.k,
+                                  dil=op.dil, wdw=wd, bdw=bd, wpw=wp,
+                                  bpw=bp))
+            elif op.kind == "skip_connect":
+                descs.append(dict(kind="skip", entry=src))
+            elif op.kind == "none":
+                descs.append(dict(kind="none"))
+            else:    # gap: precomputed [B, C] vector from a src entry
+                descs.append(dict(kind="vec", vec=op.vector(outs[src])))
+        nodes_desc.append(descs)
+    from segtpu.kernels.chw_ops import cell_op_chw
+    return cell_op_chw(outs, nodes_desc, cell_collect,
+                       interpret=interpret)
 
 
 def _crop_h(y, he: int):
@@ -468,7 +532,9 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
             feats = jnp.concatenate(
                 [_resize_any(pool[i], hw, shard=True) for i in collect],
                 axis=1)
-            return pw(feats, clf_w, clf_b, relu=False)   # local rows
+            return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
+                            out_4d=True,
+                            interpret=interpret)         # local rows
 
         return apply_sp
 
@@ -493,6 +559,11 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
                 acc=_resize_chw(y1, hw, align_corners,
                                 interpret=interpret),
                 interpret=interpret)
+            fused = _fused_cell(blk, cell_config, cell_collect, y,
+                                interpret)
+            if fused is not None:
+                pool.append(fused)
+                continue
             outs = [y, blk["node0"](y)]
             for (opa, opb), (p1, p2, _, _) in zip(blk["nodes"],
                                                   cell_config[1:]):
@@ -513,7 +584,11 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
         if flat_logits:
             return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
                             flat_out=True, interpret=interpret), hw
-        return pw(feats, clf_w, clf_b, relu=False)
+        # out_4d: the classifier stores (h, w)-layout directly (in-kernel
+        # retile) — the banded tail's 4-D input otherwise costs a
+        # 0.29 ms/b8 XLA (C,px)->(h,w) copy
+        return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
+                        out_4d=True, interpret=interpret)
 
     return apply
 
@@ -580,6 +655,10 @@ def build_fast_template_decoder(genotype, params, stats, *,
         if flat_logits:
             return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
                             flat_out=True, interpret=interpret), hw
-        return pw(feats, clf_w, clf_b, relu=False)
+        # out_4d: the classifier stores (h, w)-layout directly (in-kernel
+        # retile) — the banded tail's 4-D input otherwise costs a
+        # 0.29 ms/b8 XLA (C,px)->(h,w) copy
+        return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
+                        out_4d=True, interpret=interpret)
 
     return apply
