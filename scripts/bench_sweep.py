@@ -31,6 +31,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from segtpu.models import ARCHS
+    from segtpu.models.arch_literals import TEMPLATE_ARCHS
     from segtpu.models.segmenter import segmenter_init, count_params
     from segtpu.engine.inference import build_infer_fn
 
@@ -39,9 +40,13 @@ def main():
     frames = jax.device_put(
         rng.randint(0, 256, size=(args.batch, h, w, 3), dtype=np.uint8), dev)
 
+    # arch0/1/2 = CVPR micro family; template0 = the WACV'20 template
+    # family's sub-MB representative (VERDICT r3 next#5: the template
+    # path needs hardware numbers, not just parity)
+    all_archs = {**ARCHS, **TEMPLATE_ARCHS}
     results = []
-    for arch in ("arch0", "arch1", "arch2"):
-        genotype = ARCHS[arch]
+    for arch in ("arch0", "arch1", "arch2", *TEMPLATE_ARCHS):
+        genotype = all_archs[arch]
         params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,
                                        num_classes=19)
         params = jax.device_put(params, dev)
@@ -65,6 +70,8 @@ def main():
             _ = float(step(params, stats, frames))
         ips = args.batch * args.scan * args.reps / (time.time() - t0)
         rec = {"arch": arch, "params_m": round(count_params(params) / 1e6, 3),
+               "dec_params_m": round(
+                   count_params(params["decoder"]) / 1e6, 3),
                "shape": f"{h}x{w}", "images_per_sec_per_chip": round(ips, 2),
                "compile_s": round(compile_s, 1)}
         results.append(rec)

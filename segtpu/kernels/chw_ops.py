@@ -1475,8 +1475,17 @@ def cell_op_chw(srcs, nodes_desc, collect, *, interpret: bool = False):
                 wm = jnp.transpose(br["w_folded"], (0, 1, 3, 2)).reshape(
                     br["k"] ** 2, br["w_folded"].shape[3],
                     br["w_folded"].shape[2]).astype(srcs[0].dtype)
+                # im2col only for REF-sourced stacks: a dx-group's
+                # sublane concat needs every piece at the same vreg
+                # lane offset, which Mosaic's layout inference delivers
+                # for slices of a ref-loaded stack but NOT for slices
+                # of a fused-node VALUE chain (hardware: "result/input
+                # offset mismatch on non-concat dimension", in_layouts
+                # {125,0,125} on the dil-3 conv reading node1's output
+                # in the arch0 cell). Node-sourced convs take the
+                # per-tap dense dot loop instead.
                 im2 = (br["w_folded"].shape[2] * len(taps_l)
-                       <= _IM2COL_MAX)
+                       <= _IM2COL_MAX) and br["entry"] < n_srcs
                 if im2:
                     order = [j for dx in sorted({t[2] for t in taps_l})
                              for j, _, dxt in taps_l if dxt == dx]
@@ -1489,7 +1498,7 @@ def cell_op_chw(srcs, nodes_desc, collect, *, interpret: bool = False):
                 pbrs.append((br["entry"], "conv", br["k"], br["dil"],
                              im2, wstart, None))
             elif kind == "sep":
-                cin = br["wdw"].shape[2]
+                cin = br["wdw"].shape[3]   # dw HWIO is (k, k, 1, C)
                 wdw = jnp.transpose(br["wdw"], (0, 1, 3, 2)).reshape(
                     br["k"] ** 2, cin, 1)
                 co = br["wpw"].shape[3]

@@ -31,3 +31,12 @@ ARCHS = {
         [[2, 3], [4, 1], [5, 0]],
     ],
 }
+
+# PROVISIONAL — the WACV'20 template family's released sub-megabyte
+# models (SURVEY.md §2#3b). Same caveat as ARCHS: schema-valid
+# stand-ins exercising the template ops (AGG cells over tap pairs)
+# until the reference notebook's literals are available. Entry:
+# [[conn, conn, op, op], ...] per merge block (template_decoders).
+TEMPLATE_ARCHS = {
+    "template0": [[3, 2, 0, 2], [4, 1, 1, 4], [5, 0, 0, 9]],
+}

@@ -599,7 +599,7 @@ def template_supernet_apply(spec: SupernetSpec, params, stats, masks,
 
 def measure_proxy_fidelity(cfg, *, k: int = 16, seed: int = 0,
                            dataset=None, enc_params=None, enc_stats=None,
-                           genotypes=None):
+                           genotypes=None, discrete_only: bool = False):
     """Train K sampled genotypes BOTH ways on the same cached encoder
     taps — (a) the faithful per-genotype stage-1 proxy (exact
     search.proxy_train stage-1 semantics) and (b) the masked-supernet
@@ -610,6 +610,13 @@ def measure_proxy_fidelity(cfg, *, k: int = 16, seed: int = 0,
     (uniform stride-4; the head has been concat-equivalent per-slot
     since round 2); this is the measurement that says whether that
     deviation changes the RANKING the controller learns from.
+
+    discrete_only: skip the supernet path and return
+    (None, per_genotype_rewards, None, genotypes) — the proxy-strength
+    sweep (VERDICT r3 next#4) measures the DISCRETE proxy's
+    self-consistency across init seeds at several (epochs, crop)
+    settings; the K-vmapped supernet step would dominate its cost (and
+    is unbuildable on CPU) without informing that number.
     """
     from segtpu import search as S
     from segtpu.data.datasets import BatchLoader, create_loaders
@@ -666,6 +673,11 @@ def measure_proxy_fidelity(cfg, *, k: int = 16, seed: int = 0,
             genos.append(g)
             acts.append(a)
 
+    if discrete_only:
+        r_discrete = _fidelity_discrete_rewards(cfg, genos, cached_train,
+                                                cached_val, k_dec)
+        return None, r_discrete, None, genos
+
     # --- (b) supernet path: one compiled program, K samples vmapped ---
     optimizer = optax.chain(optax.clip_by_global_norm(cfg.dec_grad_clip),
                             optax.add_decayed_weights(cfg.dec_wd),
@@ -687,6 +699,22 @@ def measure_proxy_fidelity(cfg, *, k: int = 16, seed: int = 0,
     r_supernet = [mean_iou(cms[i]) for i in range(len(genos))]
 
     # --- (a) faithful per-genotype stage-1 (search.proxy_train) ---
+    r_discrete = _fidelity_discrete_rewards(cfg, genos, cached_train,
+                                            cached_val, k_dec)
+    return (spearman(r_discrete, r_supernet), r_discrete, r_supernet,
+            genos)
+
+
+def _fidelity_discrete_rewards(cfg, genos, cached_train, cached_val, k_dec):
+    """Exact search.proxy_train stage-1 semantics, per genotype, on
+    cached taps; returns the per-genotype val-mIoU rewards."""
+    from segtpu import search as S
+    from segtpu.engine.trainer import (init_train_state, eval_params_stats,
+                                       make_decoder_train_step)
+    from segtpu.models.encoders import MBV2_TAP_CHANNELS
+    from segtpu.models.families import infer_family
+    from segtpu.utils.metrics import mean_iou
+
     r_discrete = []
     for i, g in enumerate(genos):
         fam = infer_family(g)
@@ -712,6 +740,4 @@ def measure_proxy_fidelity(cfg, *, k: int = 16, seed: int = 0,
         for batch in cached_val:
             cm = cm + np.asarray(eval_dec(ep, es, batch))
         r_discrete.append(mean_iou(cm))
-
-    return (spearman(r_discrete, r_supernet), r_discrete, r_supernet,
-            genos)
+    return r_discrete

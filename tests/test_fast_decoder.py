@@ -53,3 +53,43 @@ def test_fast_template_decoder_matches_reference():
                                        interpret=True)
     got = np.transpose(np.asarray(fast(taps)), (0, 2, 3, 1))
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+def test_fast_decoder_cell_fusion_parity():
+    """Whole-cell fusion (kernels.chw_ops.cell_op_chw) engages only at
+    lane-aligned grids (w%128==0) — the small-tap parity tests above
+    never reach it. Force an eligible grid and assert BOTH that the
+    fused kernel actually ran and that it is per-pixel-equal to the
+    NHWC reference. (The sep-branch weight-layout bug that reached
+    hardware in round 4 lived exactly in this untested gap.)"""
+    import segtpu.kernels.chw_ops as chw
+    genotype = ARCHS["arch0"]
+    params, stats = micro_decoder_init(jax.random.PRNGKey(1), genotype,
+                                       MBV2_TAP_CHANNELS, num_classes=5)
+    rng = np.random.RandomState(2)
+    stats = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(rng.rand(*v.shape).astype(np.float32) + 0.5),
+        stats)
+    # taps at a 64x128 base grid -> cell w = 128 (eligible)
+    taps = [jnp.asarray(rng.randn(1, 64 // s, 128 // s, c)
+                        .astype(np.float32))
+            for s, c in zip((1, 2, 4, 8), MBV2_TAP_CHANNELS)]
+    want, _, _ = micro_decoder_apply(genotype, params, stats, taps)
+
+    calls = []
+    orig = chw.cell_op_chw
+
+    def counting(*a, **k):
+        out = orig(*a, **k)
+        calls.append(out is not None)
+        return out
+
+    chw.cell_op_chw = counting
+    try:
+        fast = build_fast_decoder(genotype, params, stats, interpret=True)
+        got = np.asarray(fast(taps))
+    finally:
+        chw.cell_op_chw = orig
+    assert calls and any(calls), "cell fusion never engaged"
+    got = np.transpose(got, (0, 2, 3, 1))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3, atol=1e-4)
