@@ -25,6 +25,8 @@ def main():
     # the dev relay has a ~24 ms per-dispatch sync floor (see bench.py);
     # scan>=24 amortizes it so sub-ms kernels resolve
     ap.add_argument("--scan", type=int, default=24)
+    ap.add_argument("--archs", default=None,
+                    help="comma-separated subset (default: all)")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split("x"))
 
@@ -44,8 +46,10 @@ def main():
     # family's sub-MB representative (VERDICT r3 next#5: the template
     # path needs hardware numbers, not just parity)
     all_archs = {**ARCHS, **TEMPLATE_ARCHS}
+    names = (args.archs.split(",") if args.archs
+             else ("arch0", "arch1", "arch2", *TEMPLATE_ARCHS))
     results = []
-    for arch in ("arch0", "arch1", "arch2", *TEMPLATE_ARCHS):
+    for arch in names:
         genotype = all_archs[arch]
         params, stats = segmenter_init(jax.random.PRNGKey(0), genotype,
                                        num_classes=19)
