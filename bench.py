@@ -190,6 +190,12 @@ def main():
         record["roofline_ips"] = round(roof["roofline_ips"], 1)
         record["pct_of_roofline"] = round(100 * ips / roof["roofline_ips"],
                                           1)
+        # attainable = roofline + v5e hardware terms the optimistic
+        # model ignores (dw taps on the VPU, MXU K/128 depth efficiency,
+        # banded tail) — see segtpu/utils/roofline.py docstring
+        record["attainable_ips"] = round(roof["attainable_ips"], 1)
+        record["pct_of_attainable"] = round(
+            100 * ips / roof["attainable_ips"], 1)
     if flops_per_frame is not None:
         # lower bound: XLA's count excludes custom-call (Pallas) kernels
         record["flops_per_frame_g_xla_lower_bound"] = round(

@@ -192,9 +192,10 @@ def main():
         # decoder cell shapes (48ch @ 256x512-class tiles)
         bench_taploop(48, 3, 3)
         bench_taploop(48, 5, 6)
-        # encoder mid shapes
-        bench_taploop(144, 3, 1)
-        bench_taploop(96, 3, 1)
+        # encoder mid shapes (tile rows capped: C=144 f32 windows OOM
+        # the 100 MB VMEM scope at 64 rows)
+        bench_taploop(144, 3, 1, tile_rows=32)
+        bench_taploop(96, 3, 1, tile_rows=32)
         bench_taploop(32, 3, 1, w=1024, tile_rows=32)
     if which in ("all", "roll"):
         bench_taploop_roll(48, 3, 1)

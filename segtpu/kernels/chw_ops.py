@@ -65,6 +65,20 @@ _DW_NATIVE = os.environ.get("SEGTPU_DW_NATIVE", "0") == "1"
 #: left those convs on 9 separate K=48 dots.
 _IM2COL_MAX = int(os.environ.get("SEGTPU_IM2COL_MAX", "512"))
 
+#: im2col for fused-cell node-sourced dense convs via the
+#: shift-the-dot-output form (_conv_body "shift_out"): one dot on the
+#: UNSHIFTED dy-concat (offset-0 pieces lower on fused value chains)
+#: with the dx shift applied to the f32 dot output. Default OFF — a
+#: negative result on v5e: 566.5 -> 540.2 img/s (per-dx-group dots) and
+#: 538.4 (single [C_out*n_dx, C*n_dy] dot) at the 1024x2048 headline;
+#: the [3C, tile] dy-concat materialization costs more than the saved
+#: MXU passes, so the per-tap K=48 dense dot loop stands (same shape of
+#: loss as round-3's block-diag dw im2col). Kept as the lowering-proven
+#: A/B path: it is the ONLY known im2col form Mosaic accepts on fused
+#: value chains (slice windows and scratch spills hit offset-mismatch;
+#: pltpu.roll has no bf16 lowering).
+_CELL_ROLL_IM2COL = os.environ.get("SEGTPU_CELL_ROLL_IM2COL", "0") == "1"
+
 
 def _round_up(x, m):
     return -(-x // m) * m
@@ -242,6 +256,62 @@ def _conv_body(wm_ref, b_ref, stack, *, taps, depthwise: bool, w: int,
         # rejects offset mismatches on the non-concat dim) — then one
         # dot per group with K = C * taps_in_group, col-masking the
         # group's dot OUTPUT (validity depends on dx only).
+        #
+        # im2col == "shift_out": the dx shift COMMUTES with the dot —
+        # Σ_dy W·x(px + dy·w + dx) = [Σ_dy W·x(·+dy·w)](px + dx) — so
+        # compute each dx group's dot on the UNSHIFTED dy-concat over a
+        # 128-lane-padded window (every piece then sits at lane offset
+        # ≡ 0 mod 128 and the sublane concat lowers even on fused-node
+        # VALUE chains, whose dx-shifted input slices carry the
+        # mismatched lazy offsets Mosaic's concat rejects) and take the
+        # lane-misaligned slice of the f32 dot OUTPUT instead. Costs
+        # 2·PAD/tile_p extra dot columns (~1.6% at 32768) and moves the
+        # per-dx relayout from the bf16 input to the f32 output; needed
+        # because the direct fixes both fail to lower (scratch
+        # spill+reload does not re-anchor slice offsets; pltpu.roll has
+        # no bf16 lowering: "Rotate with non-32-bit data").
+        if im2col == "shift_out":
+            # the dx shift COMMUTES with the dot — Σ_dy W·x(px+dy·w+dx)
+            # = [Σ_dy W·x(·+dy·w)](px+dx) — so run ONE dot on the
+            # UNSHIFTED dy-concat over a 128-lane-padded window (every
+            # piece sits at lane offset ≡ 0 mod 128, so the sublane
+            # concat lowers even on fused-node VALUE chains, whose
+            # dx-shifted input slices carry the mismatched lazy offsets
+            # Mosaic's concat rejects; a scratch spill+reload does not
+            # re-anchor them and pltpu.roll has no bf16 lowering). The
+            # weight is packed [C_out·n_dx, C·n_dy] (zero rows for
+            # edge-dropped taps), the f32 dot output then sliced per dx
+            # (aligned sublanes, lane shift = the commuted dx) and
+            # column-masked. ~2 MXU passes where the per-tap loop pays
+            # k², at 2·PAD/tile extra dot columns (~0.8%).
+            dys = sorted({t[1] for t in taps})
+            dxs = sorted({t[2] for t in taps})
+            c_in = stack.shape[0]
+            c_out = wm_ref.shape[1] // max(len(dxs), 1)
+            dmax_w = max(abs(d) for d in dys) * w if dys else 0
+            pad = 128 if any(dxs) else 0
+            win = jax.lax.slice_in_dim(
+                stack, halo_px - dmax_w - pad,
+                halo_px + tile_p + dmax_w + pad, axis=1)
+            pieces = [win[:, dmax_w + dy * w:
+                          dmax_w + dy * w + tile_p + 2 * pad]
+                      for dy in dys]
+            part_all = jax.lax.dot_general(
+                wm_ref[0],
+                jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                else pieces[0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
+            acc = None
+            for di, dx in enumerate(dxs):
+                part = part_all[di * c_out:(di + 1) * c_out,
+                                pad + dx:pad + dx + tile_p]
+                if dx != 0:
+                    colv = ((p % w) + dx >= 0) & ((p % w) + dx < w)
+                    part = part * colv.astype(jnp.float32)
+                acc = part if acc is None else acc + part
+            return _act(acc + b_ref[:].astype(jnp.float32), relu)
         dmax_w = max((abs(dy) for _, dy, _ in taps), default=0) * w
         width = tile_p + 2 * dmax_w
         p = jax.lax.broadcasted_iota(jnp.int32, (1, tile_p), 1)
@@ -1475,18 +1545,41 @@ def cell_op_chw(srcs, nodes_desc, collect, *, interpret: bool = False):
                 wm = jnp.transpose(br["w_folded"], (0, 1, 3, 2)).reshape(
                     br["k"] ** 2, br["w_folded"].shape[3],
                     br["w_folded"].shape[2]).astype(srcs[0].dtype)
-                # im2col only for REF-sourced stacks: a dx-group's
-                # sublane concat needs every piece at the same vreg
-                # lane offset, which Mosaic's layout inference delivers
-                # for slices of a ref-loaded stack but NOT for slices
-                # of a fused-node VALUE chain (hardware: "result/input
-                # offset mismatch on non-concat dimension", in_layouts
-                # {125,0,125} on the dil-3 conv reading node1's output
-                # in the arch0 cell). Node-sourced convs take the
-                # per-tap dense dot loop instead.
-                im2 = (br["w_folded"].shape[2] * len(taps_l)
-                       <= _IM2COL_MAX) and br["entry"] < n_srcs
-                if im2:
+                # im2col slice-windows only for REF-sourced stacks: a
+                # dx-group's sublane concat needs every piece at the
+                # same vreg lane offset, which Mosaic's layout inference
+                # delivers for slices of a ref-loaded stack but NOT for
+                # slices of a fused-node VALUE chain (hardware:
+                # "result/input offset mismatch on non-concat
+                # dimension", in_layouts {125,0,125} on the dil-3 conv
+                # reading node1's output in the arch0 cell; a VMEM
+                # scratch spill+reload did not re-anchor the offsets,
+                # and pltpu.roll has no bf16 lowering). Node-sourced
+                # convs use the shift-the-dot-OUTPUT im2col form
+                # instead (see _conv_body), falling back to the
+                # per-tap dense dot loop when disabled.
+                fits = (br["w_folded"].shape[2] * len(taps_l)
+                        <= _IM2COL_MAX)
+                im2 = fits and br["entry"] < n_srcs
+                if (fits and br["entry"] >= n_srcs
+                        and _CELL_ROLL_IM2COL):
+                    im2 = "shift_out"
+                if im2 == "shift_out":
+                    # [C_out·n_dx, C·n_dy] single-dot packing (see
+                    # _conv_body): row block dxi = the dx-shifted
+                    # output's weights, column block dyi = the dy
+                    # piece's channels; edge-dropped taps stay zero
+                    dys = sorted({t[1] for t in taps_l})
+                    dxs = sorted({t[2] for t in taps_l})
+                    co, ci = wm.shape[1], wm.shape[2]
+                    w2 = jnp.zeros((len(dxs) * co, len(dys) * ci),
+                                   wm.dtype)
+                    for j, dy, dxt in taps_l:
+                        xi, yi = dxs.index(dxt), dys.index(dy)
+                        w2 = w2.at[xi * co:(xi + 1) * co,
+                                   yi * ci:(yi + 1) * ci].set(wm[j])
+                    wm = w2.reshape(1, len(dxs) * co, len(dys) * ci)
+                elif im2:
                     order = [j for dx in sorted({t[2] for t in taps_l})
                              for j, _, dxt in taps_l if dxt == dx]
                     wm = jnp.transpose(

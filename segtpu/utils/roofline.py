@@ -7,6 +7,24 @@ and the achievable time on the target chip. ``scripts/roofline.py`` is
 the CLI printer; ``bench.py`` imports :func:`compute_roofline` so the
 bench JSON can report analytic FLOPs/frame and ``pct_of_roofline``
 instead of XLA's custom-call-blind lower bound (VERDICT r2 weak #4).
+
+Two ceilings are reported (round 4):
+
+* ``roofline_ips`` — the ORIGINAL optimistic model: every FLOP at MXU
+  bf16 peak, every byte at HBM peak, perfect fusion. Kept unchanged as
+  the round-over-round yardstick (arch0@1024x2048 = 1077 img/s).
+* ``attainable_ips`` — adds two hardware terms the optimistic model
+  ignores, with no change to the workload: (1) depthwise taps are VPU
+  work, charged at PEAK_VPU_F32_TFLOPS (they cannot run on the MXU —
+  the dense-diagonal and block-diag im2col reformulations both LOST on
+  hardware, docs/DESIGN.md round-3 A/Bs); (2) a dot with contraction
+  depth K occupies the full 128-deep systolic pipeline, so its
+  effective rate is PEAK * min(1, K/128) — MBV2's narrow expands
+  (K=16/24/32) and the 48-channel decoder are architecturally capped.
+  The tail is charged in its banded W-first form (the implemented
+  kernel), not the dense-matmul form. attainable >= measured would
+  mean a kernel beats physics; measured/attainable is the honest
+  utilization number.
 """
 
 from __future__ import annotations
@@ -16,23 +34,45 @@ from typing import Dict, List
 # chip constants: TPU v5e (single core)
 PEAK_BF16_TFLOPS = 197.0
 PEAK_HBM_GBS = 819.0
+#: VPU f32 FMA ceiling: 8x128 lanes x ~8 ALUs... the spec-plausible
+#: 1024 lanes x 2 FLOP x ~1.74 GHz = 3.6; empirically
+#: scripts/exp_vpu_floor.py measures 1.28 TF/s for VMEM-streaming FMA
+#: chains and production fused tap chains reach >=2.6 in situ, so 3.6
+#: is kept as the not-exceedable ceiling (attainable stays a ceiling).
+PEAK_VPU_F32_TFLOPS = 3.6
 
 
-def _segment(name: str, flops_g: float, bytes_mb: float,
-             note: str = "") -> Dict:
+def _mxu_eff(k: int) -> float:
+    """Effective MXU rate fraction for contraction depth K (a K<128
+    dot still occupies the full 128-deep pipeline)."""
+    return min(1.0, k / 128.0)
+
+
+def _segment(name: str, flops_g: float, bytes_mb: float, note: str = "",
+             mxu_attain_g_eff: float | None = None,
+             vpu_g: float = 0.0) -> Dict:
+    """mxu_attain_g_eff: GFLOP already divided by the per-dot K
+    efficiency (i.e. equivalent full-rate GFLOP); defaults to flops_g.
+    vpu_g: GFLOP of VPU-only work (depthwise taps, elementwise)."""
     t_flop = flops_g / PEAK_BF16_TFLOPS            # ms (GF / TF/s = ms)
     t_mem = bytes_mb / PEAK_HBM_GBS                # ms (MB / GB/s = ms)
+    if mxu_attain_g_eff is None:
+        mxu_attain_g_eff = flops_g
+    t_attain = max(t_mem, mxu_attain_g_eff / PEAK_BF16_TFLOPS
+                   + vpu_g / PEAK_VPU_F32_TFLOPS)
     return {"name": name, "gflop": flops_g, "mb": bytes_mb,
             "bound": "MXU" if t_flop > t_mem else "HBM",
-            "achievable_ms": max(t_flop, t_mem), "note": note}
+            "achievable_ms": max(t_flop, t_mem),
+            "attain_ms": t_attain, "vpu_gflop": vpu_g, "note": note}
 
 
 def compute_roofline(h: int, w: int, arch: str = "arch0",
                      num_classes: int = 19, agg: int = 48) -> Dict:
     """Per-FRAME analytic model. Returns a dict with ``segments`` (list
-    of per-segment dicts), ``total_ms``, ``roofline_ips``, and
-    ``gflop_total`` (the analytic FLOPs/frame — includes the Pallas
-    custom-call work XLA's cost analysis cannot see)."""
+    of per-segment dicts), ``total_ms``, ``roofline_ips``,
+    ``attainable_ips``, and ``gflop_total`` (the analytic FLOPs/frame —
+    includes the Pallas custom-call work XLA's cost analysis cannot
+    see)."""
     from segtpu.models.encoders import _MBV2_CFG
     from segtpu.models import ARCHS
     from segtpu.ops.layer_factory import OP_NAMES, _CONV_SPECS
@@ -45,32 +85,39 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
     front_flops = 2 * (h // 2) * ((w * 3) // 384) * 2 * 384 * 768 / 1e9
     front_bytes = (px * 3 * 1 + (px // 4) * 12 * bpe * 2) / 1e6
     segs.append(_segment("front: normalize+s2d (perm mm)", front_flops,
-                         front_bytes))
+                         front_bytes))   # K=768/384: full MXU depth
 
     # --- encoder stem ---
     ph, pw_ = h // 2, w // 2
     enc_flops = 2 * ph * pw_ * (2 * 2 * 12) * 32 / 1e9
     enc_bytes = (px // 4 * 12 * bpe + ph * pw_ * 32 * bpe) / 1e6
-    segs.append(_segment("encoder stem 2x2x12->32", enc_flops, enc_bytes))
+    segs.append(_segment("encoder stem 2x2x12->32", enc_flops, enc_bytes,
+                         mxu_attain_g_eff=enc_flops / _mxu_eff(24)))
 
     # --- encoder inverted-residual blocks (fused: mid stays in VMEM) ---
     cin = 32
     eh, ew = ph, pw_
-    enc_f = enc_b = 0.0
+    enc_f = enc_b = enc_att = enc_vpu = 0.0
     for t, c, n, s in _MBV2_CFG:
         for i in range(n):
             stride = s if i == 0 else 1
             mid = cin * t
             oh, ow = eh // stride, ew // stride
-            f = (2 * eh * ew * cin * mid if t != 1 else 0) \
-                + 2 * 9 * oh * ow * mid + 2 * oh * ow * mid * c
+            f_exp = 2 * eh * ew * cin * mid / 1e9 if t != 1 else 0.0
+            f_dw = 2 * 9 * oh * ow * mid / 1e9            # VPU work
+            f_prj = 2 * oh * ow * mid * c / 1e9
             b = (eh * ew * cin + oh * ow * c) * bpe
-            enc_f += f / 1e9
+            enc_f += f_exp + f_dw + f_prj
             enc_b += b / 1e6
+            # stride-2 blocks run the expand quadrant-STACKED (K=4*cin)
+            k_exp = 4 * cin if (stride == 2 and 4 * cin <= 128) else cin
+            enc_att += f_exp / _mxu_eff(k_exp) + f_prj / _mxu_eff(mid)
+            enc_vpu += f_dw
             cin = c
             eh, ew = oh, ow
     segs.append(_segment("encoder inv-res blocks (fused)", enc_f, enc_b,
-                         "mid tensors in VMEM"))
+                         "mid tensors in VMEM; dw on VPU",
+                         mxu_attain_g_eff=enc_att, vpu_g=enc_vpu))
 
     # --- decoder (per-genotype) ---
     genotype = ARCHS[arch]
@@ -78,10 +125,12 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
     taps_hw = [(h // 4, w // 4), (h // 8, w // 8), (h // 16, w // 16),
                (h // 32, w // 32)]
     tap_ch = [24, 32, 96, 320]
-    dec_f = dec_b = 0.0
+    dec_f = dec_b = dec_att = dec_vpu = 0.0
     pool_hw = list(taps_hw)
     for (th, tw), c in zip(taps_hw, tap_ch):
-        dec_f += 2 * th * tw * c * agg / 1e9
+        f = 2 * th * tw * c * agg / 1e9
+        dec_f += f
+        dec_att += f / _mxu_eff(c)
         dec_b += (th * tw * (c + agg)) * bpe / 1e6
     ops_used = [cell[0]] + [o for nd in cell[1:] for o in (nd[2], nd[3])]
     for bi, (i, j) in enumerate(conns):
@@ -90,7 +139,9 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
         pool_hw.append((bh, bw))
         npx = bh * bw
         # 2 agg 1x1 convs + resize (2-tap lerp) + cell ops
-        dec_f += 2 * 2 * npx * agg * agg / 1e9
+        f = 2 * 2 * npx * agg * agg / 1e9
+        dec_f += f
+        dec_att += f / _mxu_eff(agg)
         dec_b += 4 * npx * agg * bpe / 1e6
         for o in ops_used:
             name = OP_NAMES[o]
@@ -99,27 +150,49 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
                 continue
             k, dil, sep = _CONV_SPECS[name]
             if sep:
-                dec_f += (2 * k * k * npx * agg + 2 * npx * agg * agg) / 1e9
+                f_dw = 2 * k * k * npx * agg / 1e9       # VPU
+                f_pw = 2 * npx * agg * agg / 1e9
+                dec_f += f_dw + f_pw
+                dec_vpu += f_dw
+                dec_att += f_pw / _mxu_eff(agg)
             else:
-                dec_f += 2 * k * k * npx * agg * agg / 1e9
+                f = 2 * k * k * npx * agg * agg / 1e9
+                dec_f += f
+                # dy-concat im2col: K = agg * k (dx groups)
+                dec_att += f / _mxu_eff(agg * k)
             dec_b += 2 * npx * agg * bpe / 1e6
     # head: concat collect + classifier at stride-4
     npx = (h // 4) * (w // 4)
-    dec_f += 2 * npx * 2 * agg * num_classes / 1e9
+    f = 2 * npx * 2 * agg * num_classes / 1e9
+    dec_f += f
+    dec_att += f / _mxu_eff(2 * agg)
     dec_b += (npx * 2 * agg * bpe + npx * num_classes * bpe) / 1e6
     segs.append(_segment(f"decoder ({arch}, {agg}ch cells)", dec_f, dec_b,
-                         "per-op HBM round trips"))
+                         "per-op HBM round trips; sep dw on VPU",
+                         mxu_attain_g_eff=dec_att, vpu_g=dec_vpu))
 
-    # --- tail: upsample+argmax (dense two-matmul form) ---
+    # --- tail: upsample+argmax ---
     qh, qw = h // 4, w // 4
+    # optimistic model: dense two-matmul form (kept for roofline_ips
+    # continuity with rounds 2-3)
     tail_f = num_classes * (2 * h * qh * qw + 2 * h * w * qw) / 1e9
     tail_b = (qh * qw * num_classes * bpe + h * w) / 1e6
-    segs.append(_segment("tail: upsample+argmax (dense mm)", tail_f, tail_b,
-                         "f32 MXU; sparse-exact form would be ~0.3 GF"))
+    # attainable: the implemented banded W-first form — W-interp as
+    # K=72 chunk dots (redundancy ~36x over the 2-tap truth), H-interp
+    # as a 2-tap VPU FMA per output px, argmax compare ~1 VPU op
+    tail_att = num_classes * 2 * qh * w * 72 / 1e9
+    tail_vpu = num_classes * (2 * 2 + 1) * h * w / 1e9
+    segs.append(_segment("tail: upsample+argmax", tail_f, tail_b,
+                         "roofline: dense mm; attainable: banded W-first",
+                         mxu_attain_g_eff=tail_att, vpu_g=tail_vpu))
 
     total = sum(s["achievable_ms"] for s in segs)
+    total_att = sum(s["attain_ms"] for s in segs)
     return {"segments": segs, "total_ms": total,
             "roofline_ips": 1e3 / total,
+            "attainable_ms": total_att,
+            "attainable_ips": 1e3 / total_att,
             "gflop_total": sum(s["gflop"] for s in segs),
             "peak_bf16_tflops": PEAK_BF16_TFLOPS,
-            "peak_hbm_gbs": PEAK_HBM_GBS}
+            "peak_hbm_gbs": PEAK_HBM_GBS,
+            "peak_vpu_f32_tflops": PEAK_VPU_F32_TFLOPS}

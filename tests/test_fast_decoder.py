@@ -93,3 +93,31 @@ def test_fast_decoder_cell_fusion_parity():
     assert calls and any(calls), "cell fusion never engaged"
     got = np.transpose(got, (0, 2, 3, 1))
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+def test_fast_decoder_cell_fusion_parity_shift_out_im2col():
+    """Same parity check with the shift-the-dot-output im2col A/B path
+    forced on (SEGTPU_CELL_ROLL_IM2COL; default off — a measured
+    regression on v5e, see chw_ops._CELL_ROLL_IM2COL) so the only
+    Mosaic-lowerable im2col form for fused value chains stays tested."""
+    import segtpu.kernels.chw_ops as chw
+    genotype = ARCHS["arch0"]
+    params, stats = micro_decoder_init(jax.random.PRNGKey(1), genotype,
+                                       MBV2_TAP_CHANNELS, num_classes=5)
+    rng = np.random.RandomState(2)
+    stats = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(rng.rand(*v.shape).astype(np.float32) + 0.5),
+        stats)
+    taps = [jnp.asarray(rng.randn(1, 64 // s, 128 // s, c)
+                        .astype(np.float32))
+            for s, c in zip((1, 2, 4, 8), MBV2_TAP_CHANNELS)]
+    want, _, _ = micro_decoder_apply(genotype, params, stats, taps)
+    old = chw._CELL_ROLL_IM2COL
+    chw._CELL_ROLL_IM2COL = True
+    try:
+        fast = build_fast_decoder(genotype, params, stats, interpret=True)
+        got = np.asarray(fast(taps))
+    finally:
+        chw._CELL_ROLL_IM2COL = old
+    got = np.transpose(got, (0, 2, 3, 1))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3, atol=1e-4)
