@@ -67,12 +67,16 @@ def _segment(name: str, flops_g: float, bytes_mb: float, note: str = "",
 
 
 def compute_roofline(h: int, w: int, arch: str = "arch0",
-                     num_classes: int = 19, agg: int = 48) -> Dict:
+                     num_classes: int = 19, agg: int = 48,
+                     detail: bool = False) -> Dict:
     """Per-FRAME analytic model. Returns a dict with ``segments`` (list
     of per-segment dicts), ``total_ms``, ``roofline_ips``,
     ``attainable_ips``, and ``gflop_total`` (the analytic FLOPs/frame —
     includes the Pallas custom-call work XLA's cost analysis cannot
-    see)."""
+    see). With ``detail=True`` also returns ``blocks``: per-encoder-
+    block and per-decoder-resolution attainable times, named to match
+    the production kernel labels in traces (stem, b0, b1-s2, …,
+    cell@1/4), for the measured-vs-attainable floor table."""
     from segtpu.models.encoders import _MBV2_CFG
     from segtpu.models import ARCHS
     from segtpu.ops.layer_factory import OP_NAMES, _CONV_SPECS
@@ -98,7 +102,11 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
     cin = 32
     eh, ew = ph, pw_
     enc_f = enc_b = enc_att = enc_vpu = 0.0
-    for t, c, n, s in _MBV2_CFG:
+    blocks: List[Dict] = []
+    if detail:
+        blocks.append({"name": "stem", "attain_ms": segs[-1]["attain_ms"],
+                       "gflop": enc_flops, "vpu_gflop": 0.0})
+    for bi, (t, c, n, s) in enumerate(_MBV2_CFG):
         for i in range(n):
             stride = s if i == 0 else 1
             mid = cin * t
@@ -111,8 +119,17 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
             enc_b += b / 1e6
             # stride-2 blocks run the expand quadrant-STACKED (K=4*cin)
             k_exp = 4 * cin if (stride == 2 and 4 * cin <= 128) else cin
-            enc_att += f_exp / _mxu_eff(k_exp) + f_prj / _mxu_eff(mid)
+            att = f_exp / _mxu_eff(k_exp) + f_prj / _mxu_eff(mid)
+            enc_att += att
             enc_vpu += f_dw
+            if detail:
+                t_mem = b / 1e6 / PEAK_HBM_GBS
+                blocks.append({
+                    "name": f"b{bi}-s{stride}" + (f".{i}" if n > 1 and
+                                                  stride == 1 else ""),
+                    "attain_ms": max(t_mem, att / PEAK_BF16_TFLOPS
+                                     + f_dw / PEAK_VPU_F32_TFLOPS),
+                    "gflop": f_exp + f_dw + f_prj, "vpu_gflop": f_dw})
             cin = c
             eh, ew = oh, ow
     segs.append(_segment("encoder inv-res blocks (fused)", enc_f, enc_b,
