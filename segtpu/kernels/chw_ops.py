@@ -1490,6 +1490,31 @@ def _cell_kernel(*refs, plan, h: int, w: int, tile_p: int,
     out_ref[0] = acc                            # the unfused XLA epilogue
 
 
+def cell_entry_ext(nodes_desc, n_srcs: int):
+    """Per-entry halo reach (rows) of a fused cell DAG: ext[e] = the
+    rows of entry ``e`` beyond an output row that computing that row
+    transitively reads (backward propagation: max over consumers of
+    consumer_ext + branch tap reach). Entries 0..n_srcs-1 are the
+    materialized sources; the sharded decoder uses their ext to size
+    ONE ppermute halo exchange per fused cell
+    (models.fast_decoder._fused_cell_sp)."""
+    n_entries = n_srcs + len(nodes_desc)
+
+    def _halo_rows_of(br):
+        if br["kind"] in ("conv", "sep"):
+            return br["dil"] * (br["k"] // 2) + 1 if br["k"] > 1 else 0
+        return 0
+
+    ext = [0] * n_entries
+    for i in range(len(nodes_desc) - 1, -1, -1):
+        e_i = ext[n_srcs + i]
+        for br in nodes_desc[i]:
+            if br["kind"] in ("conv", "sep", "skip"):
+                need = e_i + _halo_rows_of(br)
+                ext[br["entry"]] = max(ext[br["entry"]], need)
+    return ext
+
+
 def cell_op_chw(srcs, nodes_desc, collect, *, interpret: bool = False):
     """Fused cell suffix: nodes (each a list of branch descriptors) over
     ``srcs`` (materialized [B, C, H, W] entries), returning the bf16
@@ -1508,23 +1533,7 @@ def cell_op_chw(srcs, nodes_desc, collect, *, interpret: bool = False):
     if w % 128 != 0:
         return None
     n_srcs = len(srcs)
-    n_entries = n_srcs + len(nodes_desc)
-
-    def _halo_rows_of(br):
-        if br["kind"] in ("conv", "sep"):
-            return br["dil"] * (br["k"] // 2) + 1 if br["k"] > 1 else 0
-        return 0
-
-    # backward halo propagation: entry ext (rows) = max over consumers
-    # of consumer_ext + branch reach
-    ext = [0] * n_entries
-    for i in range(len(nodes_desc) - 1, -1, -1):
-        e_i = ext[n_srcs + i]
-        for br in nodes_desc[i]:
-            if br["kind"] in ("conv", "sep", "skip"):
-                need = e_i + _halo_rows_of(br)
-                ext[br["entry"]] = max(ext[br["entry"]], need)
-
+    ext = cell_entry_ext(nodes_desc, n_srcs)
     max_ext = max(ext) if ext else 0
     target = max(_TILE_PX // w, max_ext + 1, 2)
     rows = _pick_divisor_rows(h, w, target, min(h, target * 4),

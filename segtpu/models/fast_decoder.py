@@ -237,17 +237,13 @@ def _node_pair(opa, xa, opb, xb, interpret: bool):
     return opb(xb, acc=opa(xa))
 
 
-def _fused_cell(blk, cell_config, cell_collect, y, interpret: bool):
-    """Whole-cell fusion (VERDICT r3 next#1): run the cell's node DAG in
-    ONE kernel (kernels.chw_ops.cell_op_chw) — the per-node pair kernels
-    still hand each intermediate through HBM (100 MB round trip per node
-    at the 8x48x256x512 arch0 headline shape). GAP branches need their
-    source's FULL plane before any tile can proceed, so every node up to
-    the last GAP-read entry materializes via the per-node path and only
-    the suffix fuses (arch0: node0 materializes — its GAP partner reads
-    it — and nodes 1-3 fuse). Returns None when ineligible (multi-rep
-    sep ops, w%128!=0, no divisor row tile, halos past one neighbour
-    tile); the caller falls back to the per-node loop."""
+def _cell_plan(blk, cell_config):
+    """Fusion plan shared by _fused_cell / _fused_cell_sp: the node DAG
+    as (op, src) branch lists, and ``start`` — the first fusable node
+    index (= the last GAP-read entry; GAP branches need their source's
+    FULL plane before any tile can proceed, so everything up to it
+    materializes via the per-node path). Returns None when ineligible
+    (no fusable suffix, or a multi-rep sep op in it)."""
     if not _CELL_FUSE:
         return None
     all_nodes = [[(blk["node0"], 0)]]
@@ -264,15 +260,15 @@ def _fused_cell(blk, cell_config, cell_collect, y, interpret: bool):
         for op, _ in branches:
             if op.kind == "sep" and len(op.reps) != 1:
                 return None
-    # materialize the prefix with the per-node kernels
-    outs = [y]
-    if start >= 1:
-        outs.append(blk["node0"](y))
-    for i in range(1, start):
-        (opa, p1), (opb, p2) = all_nodes[i]
-        outs.append(_node_pair(opa, outs[p1], opb, outs[p2], interpret))
-    # entry indices are UNCHANGED under fusion: srcs = outs (entries
-    # 0..start), fused node j emits entry start+1+j = its outs index
+    return all_nodes, start
+
+
+def _cell_descs(all_nodes, start, outs, vec_fn):
+    """Branch descriptors for kernels.chw_ops.cell_op_chw. Entry indices
+    are UNCHANGED under fusion: srcs = outs (entries 0..start), fused
+    node j emits entry start+1+j = its outs index. ``vec_fn(op, x)``
+    computes a GAP branch's [B, C] vector (exact mean unsharded;
+    psum-mean in the sharded path)."""
     nodes_desc = []
     for branches in all_nodes[start:]:
         descs = []
@@ -291,11 +287,108 @@ def _fused_cell(blk, cell_config, cell_collect, y, interpret: bool):
             elif op.kind == "none":
                 descs.append(dict(kind="none"))
             else:    # gap: precomputed [B, C] vector from a src entry
-                descs.append(dict(kind="vec", vec=op.vector(outs[src])))
+                descs.append(dict(kind="vec", vec=vec_fn(op, outs[src])))
         nodes_desc.append(descs)
+    return nodes_desc
+
+
+def _fused_cell(blk, cell_config, cell_collect, y, interpret: bool):
+    """Whole-cell fusion (VERDICT r3 next#1): run the cell's node DAG in
+    ONE kernel (kernels.chw_ops.cell_op_chw) — the per-node pair kernels
+    still hand each intermediate through HBM (100 MB round trip per node
+    at the 8x48x256x512 arch0 headline shape). GAP branches materialize
+    their source via the per-node path and only the suffix fuses (arch0:
+    node0 materializes — its GAP partner reads it — and nodes 1-3 fuse).
+    Returns None when ineligible (multi-rep sep ops, w%128!=0, no
+    divisor row tile, halos past one neighbour tile); the caller falls
+    back to the per-node loop."""
+    plan = _cell_plan(blk, cell_config)
+    if plan is None:
+        return None
+    all_nodes, start = plan
+    # materialize the prefix with the per-node kernels
+    outs = [y]
+    if start >= 1:
+        outs.append(blk["node0"](y))
+    for i in range(1, start):
+        (opa, p1), (opb, p2) = all_nodes[i]
+        outs.append(_node_pair(opa, outs[p1], opb, outs[p2], interpret))
+    nodes_desc = _cell_descs(all_nodes, start, outs,
+                             lambda op, x: op.vector(x))
     from segtpu.kernels.chw_ops import cell_op_chw
     return cell_op_chw(outs, nodes_desc, cell_collect,
                        interpret=interpret)
+
+
+def _fused_cell_sp(blk, cell_config, cell_collect, y, spatial,
+                   interpret: bool):
+    """Sharded whole-cell fusion (VERDICT r4 next#1): the H-sharded
+    decoder blocks run the SAME fused cell kernel as the production
+    single-device program — ONE halo exchange per cell (each
+    materialized entry extended by its fused-DAG reach,
+    kernels.chw_ops.cell_entry_ext) instead of one ppermute round per
+    node, then the UNMODIFIED cell_op_chw on a slid window of the
+    extended local block, then crop — bit-exact vs the unsharded fused
+    kernel (the round-4 parity failure was the sharded per-node path
+    diverging from the fused production program by bf16 rounding order;
+    diagnosed via logits: taps and per-node-vs-per-node were 0-diff).
+    GAP vectors go through vector_sp (psum — the one f32 reassociation
+    in the sharded path). Returns None when the kernel declines (caller
+    falls back to the per-node sharded loop).
+
+    Boundary handling: a symmetric zero-extended halo is NOT enough at
+    mesh ends — the fused kernel recomputes intermediate node rows from
+    the sources with image-boundary masking at ITS block edges, so a
+    zero-extended block computes bias-nonzero intermediates where the
+    unsharded kernel's masks read zero (measured: exactly the two
+    true-boundary rows diverged, all interior rows bit-exact). Fix:
+    every shard runs the kernel on a WINDOW of the same static size
+    (h_loc + 2e rows) slid per shard via a traced dynamic-slice offset:
+    the TOP shard's window starts at true row 0 and the BOTTOM shard's
+    ends at the true last row, so the kernel's own edge masking
+    coincides with the true image boundary; interior shards take the
+    symmetric window, whose kept rows never touch a masked read (kept
+    row j reads sources down to j - e >= window row 0). One double-halo
+    ppermute exchange per cell."""
+    from segtpu.models.fast_encoder import _halo_exchange
+    axis_name, n_sh = spatial
+    if n_sh == 1:
+        return _fused_cell(blk, cell_config, cell_collect, y, interpret)
+    plan = _cell_plan(blk, cell_config)
+    if plan is None:
+        return None
+    all_nodes, start = plan
+    outs = [y]
+    if start >= 1:
+        outs.append(_sh_op(blk["node0"], y, spatial))
+    for i in range(1, start):
+        (opa, p1), (opb, p2) = all_nodes[i]
+        outs.append(_node_pair_sp(opa, outs[p1], opb, outs[p2], spatial,
+                                  interpret))
+    nodes_desc = _cell_descs(all_nodes, start, outs,
+                             lambda op, x: op.vector_sp(x, spatial))
+    from segtpu.kernels.chw_ops import cell_entry_ext, cell_op_chw
+    ext = cell_entry_ext(nodes_desc, len(outs))
+    e = max(ext[:len(outs)]) if outs else 0
+    h_loc = outs[0].shape[2]
+    if 2 * e > h_loc:
+        return None   # double halo must fit one ppermute hop
+    if e:
+        idx = jax.lax.axis_index(axis_name)
+        off_in = jnp.where(idx == 0, 2 * e,
+                           jnp.where(idx == n_sh - 1, 0, e))
+        srcs = [jax.lax.dynamic_slice_in_dim(
+                    _halo_exchange(t, axis_name, 2 * e, 2 * e),
+                    off_in, h_loc + 2 * e, axis=2) for t in outs]
+    else:
+        srcs = outs
+    ret = cell_op_chw(srcs, nodes_desc, cell_collect, interpret=interpret)
+    if ret is None:
+        return None   # the (unused) ppermutes above are DCE'd by XLA
+    if e:
+        ret = jax.lax.dynamic_slice_in_dim(ret, 2 * e - off_in, h_loc,
+                                           axis=2)
+    return ret
 
 
 def _crop_h(y, he: int):
@@ -508,6 +601,20 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
                     y1, y2 = y2, y1
                 y = _resize_any(y2, hw, shard=shard,
                                 acc=_resize_any(y1, hw, shard=shard))
+                # mirror the production program's whole-cell fusion
+                # (sharded blocks via _fused_cell_sp — one halo
+                # exchange per cell; replicated blocks via the
+                # IDENTICAL _fused_cell call the single-device path
+                # makes) so the sharded program is bit-exact vs
+                # production wherever production fuses, not just vs
+                # the per-node fallback (the round-4 slow-tier red)
+                fused = (_fused_cell_sp(blk, cell_config, cell_collect,
+                                        y, spatial, interpret) if shard
+                         else _fused_cell(blk, cell_config, cell_collect,
+                                          y, interpret))
+                if fused is not None:
+                    pool.append((fused, shard))
+                    continue
                 if shard:
                     outs = [y, _sh_op(blk["node0"], y, spatial)]
                     for (opa, opb), (p1, p2, _, _) in zip(blk["nodes"],

@@ -149,6 +149,12 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
         dec_f += f
         dec_att += f / _mxu_eff(c)
         dec_b += (th * tw * (c + agg)) * bpe / 1e6
+    if detail:
+        t_mem = dec_b / PEAK_HBM_GBS
+        blocks.append({"name": "dec-adapts",
+                       "attain_ms": max(t_mem,
+                                        dec_att / PEAK_BF16_TFLOPS),
+                       "gflop": dec_f, "vpu_gflop": 0.0})
     ops_used = [cell[0]] + [o for nd in cell[1:] for o in (nd[2], nd[3])]
     for bi, (i, j) in enumerate(conns):
         bh = max(pool_hw[i][0], pool_hw[j][0])
@@ -156,34 +162,51 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
         pool_hw.append((bh, bw))
         npx = bh * bw
         # 2 agg 1x1 convs + resize (2-tap lerp) + cell ops
-        f = 2 * 2 * npx * agg * agg / 1e9
-        dec_f += f
-        dec_att += f / _mxu_eff(agg)
-        dec_b += 4 * npx * agg * bpe / 1e6
+        bf_ = 2 * 2 * npx * agg * agg / 1e9
+        batt = bf_ / _mxu_eff(agg)
+        bvpu = 0.0
+        bb = 4 * npx * agg * bpe / 1e6
         for o in ops_used:
             name = OP_NAMES[o]
             if name in ("skip_connect", "none", "global_average_pool"):
-                dec_b += 2 * npx * agg * bpe / 1e6
+                bb += 2 * npx * agg * bpe / 1e6
                 continue
             k, dil, sep = _CONV_SPECS[name]
             if sep:
                 f_dw = 2 * k * k * npx * agg / 1e9       # VPU
                 f_pw = 2 * npx * agg * agg / 1e9
-                dec_f += f_dw + f_pw
-                dec_vpu += f_dw
-                dec_att += f_pw / _mxu_eff(agg)
+                bf_ += f_dw + f_pw
+                bvpu += f_dw
+                batt += f_pw / _mxu_eff(agg)
             else:
                 f = 2 * k * k * npx * agg * agg / 1e9
-                dec_f += f
+                bf_ += f
                 # dy-concat im2col: K = agg * k (dx groups)
-                dec_att += f / _mxu_eff(agg * k)
-            dec_b += 2 * npx * agg * bpe / 1e6
+                batt += f / _mxu_eff(agg * k)
+            bb += 2 * npx * agg * bpe / 1e6
+        dec_f += bf_
+        dec_att += batt
+        dec_vpu += bvpu
+        dec_b += bb
+        if detail:
+            t_mem = bb / PEAK_HBM_GBS
+            blocks.append({"name": f"cell@1/{h // bh}",
+                           "attain_ms": max(t_mem,
+                                            batt / PEAK_BF16_TFLOPS
+                                            + bvpu / PEAK_VPU_F32_TFLOPS),
+                           "gflop": bf_, "vpu_gflop": bvpu})
     # head: concat collect + classifier at stride-4
     npx = (h // 4) * (w // 4)
     f = 2 * npx * 2 * agg * num_classes / 1e9
+    hd_b = (npx * 2 * agg * bpe + npx * num_classes * bpe) / 1e6
     dec_f += f
     dec_att += f / _mxu_eff(2 * agg)
-    dec_b += (npx * 2 * agg * bpe + npx * num_classes * bpe) / 1e6
+    dec_b += hd_b
+    if detail:
+        blocks.append({"name": "clf", "gflop": f, "vpu_gflop": 0.0,
+                       "attain_ms": max(hd_b / PEAK_HBM_GBS,
+                                        f / _mxu_eff(2 * agg)
+                                        / PEAK_BF16_TFLOPS)})
     segs.append(_segment(f"decoder ({arch}, {agg}ch cells)", dec_f, dec_b,
                          "per-op HBM round trips; sep dw on VPU",
                          mxu_attain_g_eff=dec_att, vpu_g=dec_vpu))
@@ -203,6 +226,15 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
                          "roofline: dense mm; attainable: banded W-first",
                          mxu_attain_g_eff=tail_att, vpu_g=tail_vpu))
 
+    if detail:
+        blocks.insert(0, {"name": "front",
+                          "attain_ms": segs[0]["attain_ms"],
+                          "gflop": segs[0]["gflop"], "vpu_gflop": 0.0})
+        blocks.append({"name": "tail",
+                       "attain_ms": segs[-1]["attain_ms"],
+                       "gflop": segs[-1]["gflop"],
+                       "vpu_gflop": segs[-1]["vpu_gflop"]})
+
     total = sum(s["achievable_ms"] for s in segs)
     total_att = sum(s["attain_ms"] for s in segs)
     return {"segments": segs, "total_ms": total,
@@ -210,6 +242,7 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
             "attainable_ms": total_att,
             "attainable_ips": 1e3 / total_att,
             "gflop_total": sum(s["gflop"] for s in segs),
+            "blocks": blocks,      # per-kernel rows; empty w/o detail
             "peak_bf16_tflops": PEAK_BF16_TFLOPS,
             "peak_hbm_gbs": PEAK_HBM_GBS,
             "peak_vpu_f32_tflops": PEAK_VPU_F32_TFLOPS}

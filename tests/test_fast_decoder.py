@@ -121,3 +121,78 @@ def test_fast_decoder_cell_fusion_parity_shift_out_im2col():
         chw._CELL_ROLL_IM2COL = old
     got = np.transpose(got, (0, 2, 3, 1))
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+def test_fused_cell_slid_window_bit_exact():
+    """The property _fused_cell_sp (the sharded decoder's whole-cell
+    fusion, VERDICT r4 next#1) rests on, pinned MESH-FREE: running
+    cell_op_chw on a per-shard slid WINDOW — the top shard's window
+    starting at true row 0, the bottom shard's ending at the true last
+    row, interior shards symmetric — and keeping each shard's own rows
+    reproduces the full-tensor fused kernel BIT-EXACTLY. A symmetric
+    zero-extended halo does NOT have this property (the kernel
+    recomputes intermediate node rows with image-boundary masking at
+    its block edges; the two true-boundary rows diverge — the round-4
+    slow-tier red). arch2's cell: GAP-free, max source reach e=4."""
+    import segtpu.models.fast_decoder as fd
+    from segtpu.kernels.chw_ops import cell_entry_ext
+    from segtpu.ops.layer_factory import OP_NAMES
+
+    genotype = ARCHS["arch2"]
+    cell_config, _ = genotype
+    params, stats = micro_decoder_init(jax.random.PRNGKey(0), genotype,
+                                       MBV2_TAP_CHANNELS, num_classes=5)
+    bp, bs = params["blocks"][2], stats["blocks"][2]
+    blk = {
+        "node0": fd._Op(OP_NAMES[cell_config[0]], bp["cell"]["node0"],
+                        bs["cell"]["node0"], True),
+        "nodes": [(fd._Op(OP_NAMES[o1], bp["cell"]["nodes"][k]["a"],
+                          bs["cell"]["nodes"][k]["a"], True),
+                   fd._Op(OP_NAMES[o2], bp["cell"]["nodes"][k]["b"],
+                          bs["cell"]["nodes"][k]["b"], True))
+                  for k, (p1, p2, o1, o2) in enumerate(cell_config[1:])],
+    }
+    collect = fd._cell_collect_inds(cell_config)
+    rng = np.random.RandomState(0)
+    h, n_sh = 32, 4
+    x = jnp.asarray(rng.randn(1, 48, h, 128).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    run = jax.jit(lambda b: fd._fused_cell(blk, cell_config, collect,
+                                           b, True))
+    ref = np.asarray(run(x))
+    assert ref.shape == (1, 48, h, 128)
+
+    # derive e exactly as _fused_cell_sp does
+    plan = fd._cell_plan(blk, cell_config)
+    assert plan is not None
+    all_nodes, start = plan
+    descs = fd._cell_descs(all_nodes, start, [x], lambda op, t: None)
+    e = max(cell_entry_ext(descs, 1)[:1])
+    assert e > 0
+    h_loc = h // n_sh
+    assert 2 * e <= h_loc
+
+    z = jnp.zeros((1, 48, 2 * e, 128), jnp.bfloat16)
+    xe = jnp.concatenate([z, x, z], axis=2)   # what ppermute delivers
+    got_rows = []
+    for i in range(n_sh):
+        off_in = 2 * e if i == 0 else (0 if i == n_sh - 1 else e)
+        lo = 2 * e + i * h_loc - (2 * e - off_in)
+        win = xe[:, :, lo:lo + h_loc + 2 * e]
+        out = np.asarray(run(win))
+        keep = 2 * e - off_in
+        got_rows.append(out[:, :, keep:keep + h_loc])
+    got = np.concatenate(got_rows, axis=2)
+    np.testing.assert_array_equal(got, ref)
+
+    # negative control: the naive symmetric window diverges at the two
+    # true-boundary rows (documents WHY the slid window exists)
+    naive = []
+    for i in range(n_sh):
+        lo = 2 * e + i * h_loc - e
+        win = xe[:, :, lo:lo + h_loc + 2 * e]
+        naive.append(np.asarray(run(win))[:, :, e:e + h_loc])
+    naive = np.concatenate(naive, axis=2)
+    d = (naive.astype(np.float64) != ref.astype(np.float64)).sum(
+        axis=(0, 1, 3))
+    assert d[0] > 0 and d[-1] > 0 and d[1:-1].sum() == 0, d
