@@ -24,27 +24,16 @@ def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "artifacts/search_demo"
     data_root = write_dataset(os.path.join(outdir, "data"))
 
-    import jax
-    import jax.numpy as jnp
-    from segtpu.data.datasets import SegmentationDataset, BatchLoader
-    from segtpu.engine.trainer import make_eval_step, validate
     from segtpu.models import ARCHS
-    from segtpu.models.segmenter import segmenter_init
-    from segtpu.utils.saver import load_pytree_like
+    from segtpu.train import measure_checkpoint_miou
 
+    # shared helper (ADVICE r4 #3): the same loader config + validate
+    # call the search script's reuse path uses — the two cannot drift
     pre_ckpt = os.path.join(outdir, "pretrain", "best_params.npz")
-    tp, ts = segmenter_init(jax.random.PRNGKey(0), ARCHS["arch0"],
-                            num_classes=NUM_CLASSES, aux=True)
-    blob = load_pytree_like(pre_ckpt, {"params": tp, "stats": ts})
-
-    val_ds = SegmentationDataset(data_root, os.path.join(data_root, "val.lst"))
-    vl = BatchLoader(val_ds, batch_size=8, crop=(64, 64), train=False)
-    ev = make_eval_step(ARCHS["arch0"], num_classes=NUM_CLASSES)
-    miou = float(validate(
-        ev, blob["params"], blob["stats"],
-        ({"image": jnp.asarray(b["image"], jnp.float32),
-          "label": jnp.asarray(b["label"])} for b in vl),
-        num_classes=NUM_CLASSES))
+    miou = measure_checkpoint_miou(
+        pre_ckpt, ARCHS["arch0"], data_root=data_root,
+        val_list=os.path.join(data_root, "val.lst"),
+        num_classes=NUM_CLASSES)
     print(f"pretrain ckpt val mIoU: {miou:.4f}")
 
     summary_path = os.path.join(outdir, "summary.json")

@@ -475,6 +475,59 @@ def _prefix_sp(op: "_Op", x, spatial):
     return x
 
 
+def _block_shards(hw, fhw, n_sh: int, halo_req: int) -> bool:
+    """The ONE H-shard predicate for a decoder block (used by apply_sp
+    at trace time and by decoder_shard_plan for static reporting —
+    VERDICT r4 next#7): every shard's rows must cover the cell's
+    largest op halo (ppermute reaches one neighbour; taller halos would
+    need multi-hop), and each input's full rows must divide evenly."""
+    return (hw[0] % n_sh == 0
+            and hw[0] // n_sh >= max(halo_req, 1)
+            and all(f[0] % n_sh == 0 for f in fhw))
+
+
+def decoder_shard_plan(genotype, input_hw, n_shards: int):
+    """Static mirror of apply_sp's per-block shard decisions: -> list of
+    {block, hw, rows_per_shard, sharded} plus the sharded-pixel
+    fraction (decoder + head pixels that compute 1/n vs replicated).
+    Pure shape walk — no params needed; lets the dryrun/DESIGN table
+    record the scaling fraction instead of asserting it."""
+    from segtpu.ops.layer_factory import OP_NAMES, _CONV_SPECS
+    cell_config, conns = genotype
+    ops = [cell_config[0]] + [o for nd in cell_config[1:]
+                              for o in (nd[2], nd[3])]
+    halo_req = 0
+    for o in ops:
+        name = OP_NAMES[o]
+        if name in _CONV_SPECS:
+            k, dil, _ = _CONV_SPECS[name]
+            halo_req = max(halo_req, dil * (k // 2))
+    h, w = input_hw
+    pool = [(h // 4, w // 4), (h // 8, w // 8), (h // 16, w // 16),
+            (h // 32, w // 32)]
+    rows = []
+    px_sh = px_total = 0
+    for bi, (i, j) in enumerate(conns):
+        fhw = [pool[i], pool[j]]
+        hw = (max(f[0] for f in fhw), max(f[1] for f in fhw))
+        sh = _block_shards(hw, fhw, n_shards, halo_req)
+        pool.append(hw)
+        npx = hw[0] * hw[1]
+        px_total += npx
+        px_sh += npx if sh else 0
+        rows.append({"block": bi + 1, "hw": list(hw),
+                     "rows_per_shard": hw[0] // n_shards
+                     if hw[0] % n_shards == 0 else None,
+                     "halo_req": halo_req, "sharded": sh})
+    # head (collect concat + classifier) computes per-shard rows at the
+    # max collect resolution — always sharded (assert in apply_sp)
+    head_hw = (h // 4, w // 4)
+    px_total += head_hw[0] * head_hw[1]
+    px_sh += head_hw[0] * head_hw[1]
+    return {"blocks": rows, "head_hw": list(head_hw),
+            "sharded_px_fraction": round(px_sh / px_total, 4)}
+
+
 def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
                        taps_channel_first: bool = False,
                        flat_logits: bool = False,
@@ -585,12 +638,8 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
                     fhw.append((t.shape[2] * (n_sh if il else 1),
                                 t.shape[3]))
                 hw = (max(f[0] for f in fhw), max(f[1] for f in fhw))
-                # shard this block iff every shard's rows cover the
-                # cell's largest op halo (ppermute reaches one
-                # neighbour; taller halos would need multi-hop)
-                shard = hw[0] % n_sh == 0 and \
-                    hw[0] // n_sh >= max(halo_req, 1) and \
-                    all(f[0] % n_sh == 0 for f in fhw)
+                # shared predicate (static mirror: decoder_shard_plan)
+                shard = _block_shards(hw, fhw, n_sh, halo_req)
                 e1, e2 = pool[i], pool[j]
                 y1 = (pw(e1[0], *blk["agg1"]), e1[1])
                 y2 = (pw(e2[0], *blk["agg2"]), e2[1])

@@ -128,3 +128,26 @@ def load_trained(path: str, genotype, num_classes: int):
                                    num_classes=num_classes, aux=True)
     tree = load_pytree_like(path, {"params": params, "stats": stats})
     return tree["params"], tree["stats"]
+
+
+def measure_checkpoint_miou(ckpt_path: str, genotype, *, data_root: str,
+                            val_list: str, num_classes: int,
+                            crop=(64, 64), batch_size: int = 8) -> float:
+    """Val mIoU of a run_training best-checkpoint on an on-disk split —
+    the ONE implementation behind every checkpoint-reuse measurement
+    (scripts/run_search_demo.py stage-0 reuse and
+    scripts/remeasure_pretrain.py back-fill; ADVICE r4 #3: the two
+    copies could silently measure different splits if loader config
+    drifted)."""
+    from segtpu.data.datasets import SegmentationDataset, BatchLoader
+    from segtpu.engine.trainer import make_eval_step, validate
+
+    params, stats = load_trained(ckpt_path, genotype, num_classes)
+    val_ds = SegmentationDataset(data_root, val_list)
+    vl = BatchLoader(val_ds, batch_size=batch_size, crop=crop, train=False)
+    ev = make_eval_step(genotype, num_classes=num_classes)
+    return float(validate(
+        ev, params, stats,
+        ({"image": jnp.asarray(b["image"], jnp.float32),
+          "label": jnp.asarray(b["label"])} for b in vl),
+        num_classes=num_classes))

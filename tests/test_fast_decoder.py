@@ -196,3 +196,27 @@ def test_fused_cell_slid_window_bit_exact():
     d = (naive.astype(np.float64) != ref.astype(np.float64)).sum(
         axis=(0, 1, 3))
     assert d[0] > 0 and d[-1] > 0 and d[1:-1].sum() == 0, d
+
+
+def test_decoder_shard_plan_static_mirror():
+    """decoder_shard_plan (VERDICT r4 next#7: record the scaling
+    fraction) shares its per-block predicate with apply_sp
+    (_block_shards); pin the plans the slow-tier execution tests
+    already establish behaviorally: at 256x512/4 only arch0's block3
+    shards (test_arch0_space_sharded_executes_256x512 docstring) and at
+    the 1024x2048/8 headline blocks 2-3 shard with >=94% of decoder+head
+    pixels in sharded blocks."""
+    from segtpu.models.fast_decoder import decoder_shard_plan
+
+    p = decoder_shard_plan(ARCHS["arch0"], (256, 512), 4)
+    assert [b["sharded"] for b in p["blocks"]] == [False, False, True]
+
+    p8 = decoder_shard_plan(ARCHS["arch0"], (1024, 2048), 8)
+    assert [b["sharded"] for b in p8["blocks"]] == [False, True, True]
+    assert p8["sharded_px_fraction"] >= 0.94
+    assert p8["blocks"][0]["halo_req"] == 12   # sep5x5_dil6
+
+    # arch2 (max halo 1) shards everywhere at the parity-test shape
+    p2 = decoder_shard_plan(ARCHS["arch2"], (64, 512), 2)
+    assert all(b["sharded"] for b in p2["blocks"])
+    assert p2["sharded_px_fraction"] == 1.0
