@@ -50,16 +50,27 @@ def _mxu_eff(k: int) -> float:
 
 def _segment(name: str, flops_g: float, bytes_mb: float, note: str = "",
              mxu_attain_g_eff: float | None = None,
-             vpu_g: float = 0.0) -> Dict:
+             vpu_g: float = 0.0,
+             attain_bytes_mb: float | None = None) -> Dict:
     """mxu_attain_g_eff: GFLOP already divided by the per-dot K
     efficiency (i.e. equivalent full-rate GFLOP); defaults to flops_g.
-    vpu_g: GFLOP of VPU-only work (depthwise taps, elementwise)."""
+    vpu_g: GFLOP of VPU-only work (depthwise taps, elementwise).
+    attain_bytes_mb: bytes for the ATTAINABLE bound when the
+    implemented kernels move less HBM than the optimistic model's
+    accounting (whole-cell fusion — the optimistic bytes stay as-is so
+    roofline_ips remains the round-over-round yardstick)."""
     t_flop = flops_g / PEAK_BF16_TFLOPS            # ms (GF / TF/s = ms)
     t_mem = bytes_mb / PEAK_HBM_GBS                # ms (MB / GB/s = ms)
     if mxu_attain_g_eff is None:
         mxu_attain_g_eff = flops_g
-    t_attain = max(t_mem, mxu_attain_g_eff / PEAK_BF16_TFLOPS
-                   + vpu_g / PEAK_VPU_F32_TFLOPS)
+    t_mem_att = (bytes_mb if attain_bytes_mb is None
+                 else attain_bytes_mb) / PEAK_HBM_GBS
+    # max(), not sum: MXU and VPU issue concurrently — the round-4
+    # serial-sum combiner put the fused 1/4 cell's "attainable" ABOVE
+    # its measured time (2.58 vs 2.27 ms/b8), i.e. the kernel proved
+    # the units overlap; a ceiling the hardware beats is not a ceiling
+    t_attain = max(t_mem_att, mxu_attain_g_eff / PEAK_BF16_TFLOPS,
+                   vpu_g / PEAK_VPU_F32_TFLOPS)
     return {"name": name, "gflop": flops_g, "mb": bytes_mb,
             "bound": "MXU" if t_flop > t_mem else "HBM",
             "achievable_ms": max(t_flop, t_mem),
@@ -127,8 +138,8 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
                 blocks.append({
                     "name": f"b{bi}-s{stride}" + (f".{i}" if n > 1 and
                                                   stride == 1 else ""),
-                    "attain_ms": max(t_mem, att / PEAK_BF16_TFLOPS
-                                     + f_dw / PEAK_VPU_F32_TFLOPS),
+                    "attain_ms": max(t_mem, att / PEAK_BF16_TFLOPS,
+                                     f_dw / PEAK_VPU_F32_TFLOPS),
                     "gflop": f_exp + f_dw + f_prj, "vpu_gflop": f_dw})
             cin = c
             eh, ew = oh, ow
@@ -149,6 +160,7 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
         dec_f += f
         dec_att += f / _mxu_eff(c)
         dec_b += (th * tw * (c + agg)) * bpe / 1e6
+    dec_b_att = dec_b   # adapts move the same bytes either way
     if detail:
         t_mem = dec_b / PEAK_HBM_GBS
         blocks.append({"name": "dec-adapts",
@@ -156,6 +168,20 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
                                         dec_att / PEAK_BF16_TFLOPS),
                        "gflop": dec_f, "vpu_gflop": 0.0})
     ops_used = [cell[0]] + [o for nd in cell[1:] for o in (nd[2], nd[3])]
+    # whole-cell fusion start: last GAP-read entry (models.fast_decoder.
+    # _cell_plan) — everything after it runs in ONE kernel, so the
+    # ATTAINABLE byte charge is srcs-read + collect-write, not per-op
+    # round trips (the stale per-op charge put the fused 1/4 cell's
+    # attainable ABOVE its round-4 measured time)
+    fuse_start = 0
+    if OP_NAMES[cell[0]] == "global_average_pool":
+        fuse_start = 1   # gap node0 reads entry 0; suffix from node 0 ok
+    for k_, nd in enumerate(cell[1:]):
+        p1, p2, o1, o2 = nd
+        if OP_NAMES[o1] == "global_average_pool":
+            fuse_start = max(fuse_start, p1)
+        if OP_NAMES[o2] == "global_average_pool":
+            fuse_start = max(fuse_start, p2)
     for bi, (i, j) in enumerate(conns):
         bh = max(pool_hw[i][0], pool_hw[j][0])
         bw = max(pool_hw[i][1], pool_hw[j][1])
@@ -184,16 +210,29 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
                 # dy-concat im2col: K = agg * k (dx groups)
                 batt += f / _mxu_eff(agg * k)
             bb += 2 * npx * agg * bpe / 1e6
+        if bw % 128 == 0 and fuse_start < len(cell):
+            # fused: aggs+resize (4) + prefix per-op round trips
+            # (node0 = 1 op, nodes 1..start-1 = 2 ops each) + one GAP
+            # re-read of its source + suffix srcs reads (start+1) +
+            # collect write (1)
+            n_prefix_ops = (1 if fuse_start >= 1 else 0) + \
+                2 * max(fuse_start - 1, 0)
+            units = 4 + 2 * n_prefix_ops + \
+                (1 if fuse_start else 0) + (fuse_start + 1) + 1
+            bb_att = units * npx * agg * bpe / 1e6
+        else:
+            bb_att = bb
         dec_f += bf_
         dec_att += batt
         dec_vpu += bvpu
         dec_b += bb
+        dec_b_att += bb_att
         if detail:
-            t_mem = bb / PEAK_HBM_GBS
+            t_mem = bb_att / PEAK_HBM_GBS
             blocks.append({"name": f"cell@1/{h // bh}",
                            "attain_ms": max(t_mem,
-                                            batt / PEAK_BF16_TFLOPS
-                                            + bvpu / PEAK_VPU_F32_TFLOPS),
+                                            batt / PEAK_BF16_TFLOPS,
+                                            bvpu / PEAK_VPU_F32_TFLOPS),
                            "gflop": bf_, "vpu_gflop": bvpu})
     # head: concat collect + classifier at stride-4
     npx = (h // 4) * (w // 4)
@@ -202,14 +241,17 @@ def compute_roofline(h: int, w: int, arch: str = "arch0",
     dec_f += f
     dec_att += f / _mxu_eff(2 * agg)
     dec_b += hd_b
+    dec_b_att += hd_b
     if detail:
         blocks.append({"name": "clf", "gflop": f, "vpu_gflop": 0.0,
                        "attain_ms": max(hd_b / PEAK_HBM_GBS,
                                         f / _mxu_eff(2 * agg)
                                         / PEAK_BF16_TFLOPS)})
     segs.append(_segment(f"decoder ({arch}, {agg}ch cells)", dec_f, dec_b,
-                         "per-op HBM round trips; sep dw on VPU",
-                         mxu_attain_g_eff=dec_att, vpu_g=dec_vpu))
+                         "per-op HBM round trips; sep dw on VPU; "
+                         "attain bytes = whole-cell-fused traffic",
+                         mxu_attain_g_eff=dec_att, vpu_g=dec_vpu,
+                         attain_bytes_mb=dec_b_att))
 
     # --- tail: upsample+argmax ---
     qh, qw = h // 4, w // 4
