@@ -77,12 +77,18 @@ def main():
     # scan degenerates to re-summing (observed: exactly scan x the true
     # throughput). The checksum fetch is the hard sync.
     @jax.jit
-    def step(params, stats, frames):
-        def body(chk, _):
-            f = frames + (chk % 2).astype(jnp.uint8)
+    def step(params, stats, frames_all):
+        # scan over `scan` DISTINCT device-resident batches (xs): no
+        # loop-invariant code motion is possible (each iteration reads
+        # its own slice), and unlike the round-2 carry-perturbed form
+        # (frames + chk%2) there is no artificial 2x96 MB uint8
+        # read+write per iteration — the harness now moves exactly the
+        # bytes a real streaming workload moves. The checksum fetch
+        # stays the hard sync (and keeps the masks live).
+        def body(chk, f):
             masks = infer(params, stats, f)
             return chk + jnp.sum(masks.astype(jnp.int32)), None
-        chk, _ = jax.lax.scan(body, jnp.int32(0), None, length=scan)
+        chk, _ = jax.lax.scan(body, jnp.int32(0), frames_all)
         return chk
 
     rng = np.random.RandomState(0)
@@ -91,7 +97,14 @@ def main():
     # else row-flat [N,H,W*3]): free host views; the 4-D uint8 parameter
     # costs a device-side relayout (see _stage_u8 / build_infer_fn)
     from segtpu.engine.inference import _stage_u8
-    frames = jax.device_put(_stage_u8(frames_host)[0], dev)
+    staged_shape = _stage_u8(frames_host)[0].shape
+    # `scan` distinct batches generated ON DEVICE (uint8 through the
+    # dev relay moves at ~23 MB/s; scan*batch full-res frames would
+    # take minutes to ship). 4.6 GB at b8/scan48 1024x2048 — resident.
+    with jax.default_device(dev):
+        frames = jax.block_until_ready(jax.random.randint(
+            jax.random.PRNGKey(0), (scan,) + tuple(staged_shape),
+            0, 256, jnp.uint8))
 
     # warm-start split (VERDICT r3 next#6): Python trace+lower (or an
     # AOT-store deserialize on a warm machine — segtpu.utils.aot) vs XLA
@@ -101,7 +114,11 @@ def main():
     t0 = time.time()
     prog = aot_jit(
         lambda p, s, f: step(p, s, f),
-        repr(("bench", arch, (h, w), num_classes, batch, scan,
+        # "bench-v2": the xs-scan harness (distinct device batches) —
+        # bench.py is outside the segtpu source digest, so the harness
+        # change must bump the key itself or a warm store would serve
+        # the old carry-perturbed program
+        repr(("bench-v2", arch, (h, w), num_classes, batch, scan,
               use_pallas)),
         params, stats, frames)
     lowered = prog.lower(params, stats, frames)

@@ -242,6 +242,86 @@ def _pw_kernel(wm_ref, b_ref, *refs, relu, has_acc: bool,
         out_ref[0] = y.astype(out_ref.dtype)
 
 
+def _pw_multi_kernel(b_ref, *refs, n_src: int, relu, rows_w=None):
+    """Multi-source 1x1 conv: out = act(Σ_i w_i @ x_i + b). The decoder
+    head's `concat(collect) -> classifier` is algebraically this with
+    the clf weight split at the source channel boundaries — computing
+    it directly skips the XLA concat's HBM materialization of the
+    [B, 2*agg, H, W] feats tensor (write + read ≈ 50 MB/frame at the
+    arch0 1024x2048 headline) that a custom-call consumer cannot alias
+    away. f32 accumulation; association differs from the single K=96
+    dot by one partial-sum split (bf16 output rounding unchanged in
+    spirit — parity tests stay allclose; sharded and single-device
+    paths both route here so they stay bit-equal to each other)."""
+    wms = refs[:n_src]
+    xs = refs[n_src:2 * n_src]
+    out_ref = refs[-1]
+    y = jax.lax.dot_general(
+        wms[0][0], xs[0][0],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    for i in range(1, n_src):
+        y = y + jax.lax.dot_general(
+            wms[i][0], xs[i][0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    y = _act(y + b_ref[:].astype(jnp.float32), relu)
+    if rows_w is not None:
+        out_ref[0] = y.reshape(y.shape[0], *rows_w).astype(out_ref.dtype)
+    else:
+        out_ref[0] = y.astype(out_ref.dtype)
+
+
+def pw_multi_chw(xs, w_foldeds, bias, *, relu: bool = False,
+                 flat_out: bool = False, out_4d: bool = False,
+                 interpret: bool = False):
+    """Concat-free multi-source pointwise conv (see _pw_multi_kernel):
+    xs[i] [B, C_i, H, W] + w_foldeds[i] HWIO [1, 1, C_i, Cout] ->
+    [B, Cout, H, W] (or flat / 4-D-stored like conv_chw's k=1 path).
+    Equivalent to conv_chw(concatenate(xs, 1), concat(w, 2), bias)."""
+    b, _, h, w = xs[0].shape
+    assert all(x.shape[0] == b and x.shape[2:] == (h, w) for x in xs)
+    c_out = w_foldeds[0].shape[3]
+    wms = [jnp.transpose(wf, (0, 1, 3, 2)).reshape(
+               1, c_out, wf.shape[2]).astype(xs[0].dtype)
+           for wf in w_foldeds]
+    rows = _pick_rows(h, w, 1, 1)
+    flats = [_flatten(x, rows) for x in xs]
+    hp = flats[0][1]
+    xfs = [f[0] for f in flats]
+    tile_p = rows * w
+    n_tiles = hp * w // tile_p
+    out_4d = out_4d and w % 128 == 0
+    if out_4d:
+        out_shape = jax.ShapeDtypeStruct((b, c_out, hp, w), xs[0].dtype)
+        out_spec = pl.BlockSpec((1, c_out, rows, w),
+                                lambda bi, i: (bi, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, c_out, hp * w), xs[0].dtype)
+        out_spec = pl.BlockSpec((1, c_out, tile_p),
+                                lambda bi, i: (bi, 0, i),
+                                memory_space=pltpu.VMEM)
+    x_specs = [pl.BlockSpec((1, x.shape[1], tile_p),
+                            lambda bi, i: (bi, 0, i),
+                            memory_space=pltpu.VMEM) for x in xs]
+    out = pl.pallas_call(
+        functools.partial(_pw_multi_kernel, n_src=len(xs), relu=relu,
+                          rows_w=(rows, w) if out_4d else None),
+        out_shape=out_shape,
+        grid=(b, n_tiles),
+        in_specs=[_full_spec((c_out, 1)),
+                  *[_full_spec(wm.shape) for wm in wms],
+                  *x_specs],
+        out_specs=out_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(bias.reshape(c_out, 1), *wms, *xfs)
+    if out_4d:
+        return out[:, :, :h]
+    return (out[:, :, :h * w] if flat_out else
+            out.reshape(b, c_out, hp, w)[:, :, :h])
+
+
 def _conv_body(wm_ref, b_ref, stack, *, taps, depthwise: bool, w: int,
                tile_p: int, halo_px: int, relu, im2col: bool):
     """Post-stack compute of a dense/depthwise conv: tap loop (+ bias

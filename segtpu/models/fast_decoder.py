@@ -475,6 +475,29 @@ def _prefix_sp(op: "_Op", x, spatial):
     return x
 
 
+def _clf_multi(srcs, clf_w, clf_b, *, flat_out: bool = False,
+               out_4d: bool = False, interpret: bool = False):
+    """Decoder head without the concat: `concat(collect) -> 1x1 clf`
+    computed as Σ_i w_i @ src_i (kernels.chw_ops.pw_multi_chw) — the
+    XLA concat materializes the [B, Σc, H, W] feats tensor through HBM
+    (~50 MB/frame write+read at the arch0 headline) because a Pallas
+    consumer cannot alias custom-call outputs. Single-source heads call
+    conv_chw directly. Both the production and sharded paths route
+    here, so they stay bit-equal to each other."""
+    from segtpu.kernels.chw_ops import pw_multi_chw
+    if len(srcs) == 1:
+        return conv_chw(srcs[0], clf_w, clf_b, k=1, relu=False,
+                        flat_out=flat_out, out_4d=out_4d,
+                        interpret=interpret)
+    ws, off = [], 0
+    for s in srcs:
+        ws.append(clf_w[:, :, off:off + s.shape[1]])
+        off += s.shape[1]
+    assert off == clf_w.shape[2], (off, clf_w.shape)
+    return pw_multi_chw(srcs, ws, clf_b, relu=False, flat_out=flat_out,
+                        out_4d=out_4d, interpret=interpret)
+
+
 def _block_shards(hw, fhw, n_sh: int, halo_req: int) -> bool:
     """The ONE H-shard predicate for a decoder block (used by apply_sp
     at trace time and by decoder_shard_plan for static reporting —
@@ -685,12 +708,9 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
                       for i in collect),
                   max(pool[i][0].shape[3] for i in collect))
             assert hw[0] % n_sh == 0, (hw, n_sh)
-            feats = jnp.concatenate(
-                [_resize_any(pool[i], hw, shard=True) for i in collect],
-                axis=1)
-            return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
-                            out_4d=True,
-                            interpret=interpret)         # local rows
+            srcs = [_resize_any(pool[i], hw, shard=True) for i in collect]
+            return _clf_multi(srcs, clf_w, clf_b, out_4d=True,
+                              interpret=interpret)       # local rows
 
         return apply_sp
 
@@ -733,18 +753,16 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
             pool.append(acc)
         hw = (max(pool[i].shape[2] for i in collect),
               max(pool[i].shape[3] for i in collect))
-        feats = jnp.concatenate(
-            [_resize_chw(pool[i], hw, align_corners, interpret=interpret)
-             for i in collect],
-            axis=1)
+        srcs = [_resize_chw(pool[i], hw, align_corners,
+                            interpret=interpret) for i in collect]
         if flat_logits:
-            return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
-                            flat_out=True, interpret=interpret), hw
+            return _clf_multi(srcs, clf_w, clf_b, flat_out=True,
+                              interpret=interpret), hw
         # out_4d: the classifier stores (h, w)-layout directly (in-kernel
         # retile) — the banded tail's 4-D input otherwise costs a
         # 0.29 ms/b8 XLA (C,px)->(h,w) copy
-        return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
-                        out_4d=True, interpret=interpret)
+        return _clf_multi(srcs, clf_w, clf_b, out_4d=True,
+                          interpret=interpret)
 
     return apply
 
@@ -804,17 +822,15 @@ def build_fast_template_decoder(genotype, params, stats, *,
             pool.append(blk["op"](y))
         hw = (max(pool[i].shape[2] for i in collect),
               max(pool[i].shape[3] for i in collect))
-        feats = jnp.concatenate(
-            [_resize_chw(pool[i], hw, align_corners, interpret=interpret)
-             for i in collect],
-            axis=1)
+        srcs = [_resize_chw(pool[i], hw, align_corners,
+                            interpret=interpret) for i in collect]
         if flat_logits:
-            return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
-                            flat_out=True, interpret=interpret), hw
+            return _clf_multi(srcs, clf_w, clf_b, flat_out=True,
+                              interpret=interpret), hw
         # out_4d: the classifier stores (h, w)-layout directly (in-kernel
         # retile) — the banded tail's 4-D input otherwise costs a
         # 0.29 ms/b8 XLA (C,px)->(h,w) copy
-        return conv_chw(feats, clf_w, clf_b, k=1, relu=False,
-                        out_4d=True, interpret=interpret)
+        return _clf_multi(srcs, clf_w, clf_b, out_4d=True,
+                          interpret=interpret)
 
     return apply
