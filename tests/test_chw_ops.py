@@ -172,3 +172,39 @@ def test_vec_acc_matches_broadcast_add(kind):
         got = conv_chw(x, wf, bf, None, vec, k=k, interpret=True)
     want = np.asarray(base) + np.asarray(vec)[:, :, None, None]
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_pw_multi_matches_concat_conv():
+    """pw_multi_chw (the concat-free decoder head) == conv_chw over the
+    channel-concatenated input with the channel-split weights, up to the
+    f32 partial-sum split (exact here: f32 inputs, two K=48 partials
+    accumulate in f32 either way at this size — assert allclose tight)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from segtpu.kernels.chw_ops import conv_chw, pw_multi_chw
+    rng = np.random.RandomState(0)
+    b, c1, c2, co, h, w = 2, 48, 48, 19, 8, 128
+    x1 = jnp.asarray(rng.randn(b, c1, h, w).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(b, c2, h, w).astype(np.float32))
+    wf = jnp.asarray(rng.randn(1, 1, c1 + c2, co).astype(np.float32)) * .1
+    bias = jnp.asarray(rng.randn(co).astype(np.float32))
+    want = np.asarray(conv_chw(jnp.concatenate([x1, x2], axis=1), wf,
+                               bias, k=1, relu=False, out_4d=True,
+                               interpret=True))
+    got = np.asarray(pw_multi_chw([x1, x2],
+                                  [wf[:, :, :c1], wf[:, :, c1:]], bias,
+                                  out_4d=True, interpret=True))
+    assert got.shape == want.shape == (b, co, h, w)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # flat output form
+    got_f = np.asarray(pw_multi_chw([x1, x2],
+                                    [wf[:, :, :c1], wf[:, :, c1:]],
+                                    bias, flat_out=True, interpret=True))
+    np.testing.assert_allclose(got_f.reshape(b, co, h, w), want,
+                               rtol=1e-5, atol=1e-5)
+    # single-source degenerates to the plain conv
+    got_1 = np.asarray(pw_multi_chw([x1], [wf[:, :, :c1]], bias,
+                                    out_4d=True, interpret=True))
+    want_1 = np.asarray(conv_chw(x1, wf[:, :, :c1], bias, k=1,
+                                 relu=False, out_4d=True, interpret=True))
+    np.testing.assert_array_equal(got_1, want_1)
