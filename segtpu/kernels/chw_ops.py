@@ -322,6 +322,87 @@ def pw_multi_chw(xs, w_foldeds, bias, *, relu: bool = False,
             out.reshape(b, c_out, hp, w)[:, :, :h])
 
 
+def _pw_chain_kernel(*refs, n_stage: int, relu, rows_w=None):
+    """Chained 1x1 convs in ONE kernel: y = actN(wN @ ... act1(w1 @ x
+    + b1) ... + bN). The decoder's adapt -> aggregate pointwise pair
+    (reference: AggregateCell's per-branch 1x1 after MicroDecoder's
+    per-tap adapt, SURVEY.md §3.5) otherwise hands a full [B, 48, H, W]
+    intermediate through HBM (write + read = 25 MB/frame at the arch0
+    1/4-res block) purely to feed the next 1x1.
+
+    BIT-EXACT vs the unfused pair: each stage casts its f32 result to
+    the output dtype before the next dot (exactly the HBM storage
+    rounding of the two-kernel version) and every dot keeps bf16
+    operands + f32 accumulation, so fused-vs-unfused equality is
+    assertable with array_equal, and the sharded decoder path can fuse
+    independently of the single-device one without numeric drift."""
+    wms = refs[:n_stage]
+    bs = refs[n_stage:2 * n_stage]
+    x_ref, out_ref = refs[2 * n_stage], refs[-1]
+    y = x_ref[0]
+    for i in range(n_stage):
+        z = jax.lax.dot_general(
+            wms[i][0], y,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        z = _act(z + bs[i][:].astype(jnp.float32), relu[i])
+        y = z.astype(out_ref.dtype)
+    if rows_w is not None:
+        out_ref[0] = y.reshape(y.shape[0], *rows_w)
+    else:
+        out_ref[0] = y
+
+
+def pw_chain_chw(x, stages, *, relu=None, out_4d: bool = False,
+                 interpret: bool = False):
+    """x [B, C0, H, W] through stages [(w_folded HWIO [1,1,Ci,Ci+1],
+    bias), ...] -> [B, Cn, H, W]; bit-equal to feeding the stages
+    through conv_chw(k=1) one at a time (see _pw_chain_kernel). relu:
+    per-stage activation list (default: all True)."""
+    b, c0, h, w = x.shape
+    n = len(stages)
+    relu = [True] * n if relu is None else list(relu)
+    assert len(relu) == n and n >= 1
+    cs = [c0] + [wf.shape[3] for wf, _ in stages]
+    assert all(wf.shape[2] == ci for (wf, _), ci in zip(stages, cs))
+    c_out = cs[-1]
+    wms = [jnp.transpose(wf, (0, 1, 3, 2)).reshape(
+               1, wf.shape[3], wf.shape[2]).astype(x.dtype)
+           for wf, _ in stages]
+    bss = [bias.reshape(bias.shape[0], 1) for _, bias in stages]
+    rows = _pick_rows(h, w, 1, 1)
+    xf, hp = _flatten(x, rows)
+    tile_p = rows * w
+    n_tiles = hp * w // tile_p
+    out_4d = out_4d and w % 128 == 0
+    if out_4d:
+        out_shape = jax.ShapeDtypeStruct((b, c_out, hp, w), x.dtype)
+        out_spec = pl.BlockSpec((1, c_out, rows, w),
+                                lambda bi, i: (bi, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, c_out, hp * w), x.dtype)
+        out_spec = pl.BlockSpec((1, c_out, tile_p),
+                                lambda bi, i: (bi, 0, i),
+                                memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_pw_chain_kernel, n_stage=n, relu=relu,
+                          rows_w=(rows, w) if out_4d else None),
+        out_shape=out_shape,
+        grid=(b, n_tiles),
+        in_specs=[*[_full_spec(wm.shape) for wm in wms],
+                  *[_full_spec(bb.shape) for bb in bss],
+                  pl.BlockSpec((1, c0, tile_p), lambda bi, i: (bi, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=out_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*wms, *bss, xf)
+    if out_4d:
+        return out[:, :, :h]
+    return out.reshape(b, c_out, hp, w)[:, :, :h]
+
+
 def _conv_body(wm_ref, b_ref, stack, *, taps, depthwise: bool, w: int,
                tile_p: int, halo_px: int, relu, im2col: bool):
     """Post-stack compute of a dense/depthwise conv: tap loop (+ bias

@@ -47,18 +47,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(starts_ref, wrow_ref, awt_ref, *refs, R: int, V: int,
-            block_rows: int, w: int, ow: int, c: int, has_acc: bool):
+            block_rows: int, w: int, ow: int, c: int, has_acc: bool,
+            n_stage: int = 0):
     """Grid step (b, t): out rows [t*R, (t+1)*R).
 
     starts_ref: [n_tiles] int32 input-row-block window starts (prefetch)
     wrow_ref  : [1, R, 128] f32 — weight of view-row j for out row r
     awt_ref   : [w, OW] f32 W-interp matrix (transposed interp matrix)
     refs      : Vb view refs (1, c, block_rows*w) + optional acc
-                (1, c, R*ow) + out_ref (1, c, R*ow)
+                (1, c_acc, R*ow) [+ n_stage (wm, bias) pairs applied to
+                acc as a bit-exact pointwise chain — see
+                chw_ops._pw_chain_kernel] + out_ref (1, c, R*ow)
     """
     n_views = -(-V // block_rows)
     views = refs[:n_views]
     acc_ref = refs[n_views] if has_acc else None
+    stage_refs = refs[n_views + 1:n_views + 1 + 2 * n_stage]
     out_ref = refs[-1]
 
     # view rows j = 0..V-1 live at view j // block_rows, static lane
@@ -78,18 +82,35 @@ def _kernel(starts_ref, wrow_ref, awt_ref, *refs, R: int, V: int,
         rows.append(zr)
     out = jnp.concatenate(rows, axis=1)          # [c, R*ow]
     if has_acc:
-        out = out + acc_ref[0].astype(jnp.float32)
+        a = acc_ref[0]
+        for i in range(n_stage):
+            z = jax.lax.dot_general(
+                stage_refs[2 * i][0], a,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            z = jnp.maximum(
+                z + stage_refs[2 * i + 1][:].astype(jnp.float32), 0.0)
+            a = z.astype(out_ref.dtype)   # HBM-storage rounding
+        out = out + a.astype(jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "align_corners",
                                              "interpret"))
-def resize_chw_pallas(x, out_hw, acc=None, *, align_corners: bool = True,
+def resize_chw_pallas(x, out_hw, acc=None, acc_stages=None, *,
+                      align_corners: bool = True,
                       interpret: bool = False):
     """x [B, C, h, w] -> [B, C, OH, OW] bilinear upsample (torch
     F.interpolate semantics for both align_corners settings), computed
     in f32, returned in x.dtype. acc: optional [B, C, OH, OW] added into
-    the result in-kernel. Upsampling only (OH >= h, OW >= w)."""
+    the result in-kernel. Upsampling only (OH >= h, OW >= w).
+
+    acc_stages: optional [(w_folded HWIO, bias), ...] — acc is then a
+    RAW [B, C_acc, OH, OW] tensor run through the bit-exact pointwise
+    chain (chw_ops.pw_chain_chw semantics) in-kernel before the add:
+    the AggregateCell identity branch's adapt->agg 1x1 pair never
+    touches HBM (fast_decoder's lazy-tap fusion, floor-table row
+    `dec-adapts`)."""
     b, c, h, w = x.shape
     oh, ow = int(out_hw[0]), int(out_hw[1])
     assert oh >= h and ow >= w and ow % 128 == 0, (h, w, oh, ow)
@@ -152,15 +173,33 @@ def resize_chw_pallas(x, out_hw, acc=None, *, align_corners: bool = True,
     ]
     operands = [jnp.asarray(wrow), jnp.asarray(awt)] + [xf] * n_views
     has_acc = acc is not None
+    n_stage = 0
     if has_acc:
-        in_specs.append(pl.BlockSpec((1, c, R * ow),
+        c_acc = acc.shape[1]
+        in_specs.append(pl.BlockSpec((1, c_acc, R * ow),
                                      lambda bi, t, s: (bi, 0, t),
                                      memory_space=pltpu.VMEM))
-        operands.append(acc.reshape(b, c, oh * ow))
+        operands.append(acc.reshape(b, c_acc, oh * ow))
+        if acc_stages:
+            n_stage = len(acc_stages)
+            assert acc_stages[-1][0].shape[3] == c
+            for wf, bias in acc_stages:
+                wm = jnp.transpose(wf, (0, 1, 3, 2)).reshape(
+                    1, wf.shape[3], wf.shape[2]).astype(x.dtype)
+                bb = bias.reshape(bias.shape[0], 1)
+                in_specs.append(pl.BlockSpec(
+                    wm.shape, lambda bi, t, s: (0, 0, 0),
+                    memory_space=pltpu.VMEM))
+                in_specs.append(pl.BlockSpec(
+                    bb.shape, lambda bi, t, s: (0, 0),
+                    memory_space=pltpu.VMEM))
+                operands.extend([wm, bb])
+        else:
+            assert c_acc == c
 
     out = pl.pallas_call(
         functools.partial(_kernel, R=R, V=V, block_rows=block_rows, w=w,
-                          ow=ow, c=c, has_acc=has_acc),
+                          ow=ow, c=c, has_acc=has_acc, n_stage=n_stage),
         out_shape=jax.ShapeDtypeStruct((b, c, oh * ow), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

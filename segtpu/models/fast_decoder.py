@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from segtpu.core.resize import _interp_matrix
-from segtpu.kernels.chw_ops import conv_chw, sep_conv_chw, fold_bn
+from segtpu.kernels.chw_ops import conv_chw, pw_chain_chw, sep_conv_chw, \
+    fold_bn
 from segtpu.models.micro_decoders import _cell_collect_inds, \
     _decoder_collect_inds, validate_genotype
 from segtpu.ops.layer_factory import OP_NAMES, _CONV_SPECS
@@ -90,21 +91,39 @@ def _resize_chw_sp(x, out_hw, spatial, align_corners=True, acc=None):
     return y if acc is None else y + acc
 
 
-def _resize_chw(x, out_hw, align_corners=True, acc=None, interpret=False):
+def _resize_chw(x, out_hw, align_corners=True, acc=None, acc_chain=None,
+                interpret=False):
     """Bilinear resize in CHW; routes through the flat-layout Pallas
     kernel (kernels.resize_chw) when eligible — the einsum form forces
     a (h-sublane, w-lane) relayout of the flat tensors the chw_ops
     kernels exchange (~1.4 ms/b8-dispatch of pure copies at 1024x2048).
-    acc: optional [B, C, OH, OW] added in-kernel (pair-add fusion)."""
+    acc: optional [B, C, OH, OW] added in-kernel (pair-add fusion).
+    acc_chain: optional (raw [B, C0, OH, OW], [(w_folded, bias), ...])
+    — the AggregateCell identity branch as a RAW tap + its pointwise
+    chain, fused into the kernel's acc read when the kernel is
+    eligible, else materialized via pw_chain_chw first (bit-exact
+    either way — chw_ops._pw_chain_kernel casts each stage to the
+    storage dtype)."""
     h, w = x.shape[-2], x.shape[-1]
     oh, ow = int(out_hw[0]), int(out_hw[1])
+    kernel_ok = (oh * ow >= 65536 and oh >= h and ow >= w
+                 and ow % 128 == 0 and x.shape[1] % 8 == 0
+                 and (h, w) != (oh, ow))
+    if acc_chain is not None:
+        assert acc is None
+        raw, stages = acc_chain
+        if kernel_ok:
+            from segtpu.kernels.resize_chw import resize_chw_pallas
+            return resize_chw_pallas(x, (oh, ow), raw, tuple(stages),
+                                     align_corners=align_corners,
+                                     interpret=interpret)
+        acc = pw_chain_chw(raw, stages, interpret=interpret)
     if (h, w) == (oh, ow):
         return x if acc is None else x + acc
     # the kernel pays off when the relayout it avoids is large; small
     # resizes run faster as einsums (traced: a 32x64 -> 64x128 kernel
     # cost 0.58 ms/b8 from tiny f32 dots vs ~0.05 as einsum)
-    if (oh * ow >= 65536 and oh >= h and ow >= w and ow % 128 == 0
-            and x.shape[1] % 8 == 0):
+    if kernel_ok:
         from segtpu.kernels.resize_chw import resize_chw_pallas
         return resize_chw_pallas(x, (oh, ow), acc,
                                  align_corners=align_corners,
@@ -116,6 +135,19 @@ def _resize_chw(x, out_hw, align_corners=True, acc=None, interpret=False):
     y = jnp.einsum("pw,bcow->bcop", aw, y)
     y = y.astype(x.dtype)
     return y if acc is None else y + acc
+
+
+class _LazyTap:
+    """A tap adapt deferred into its single consumer's kernel (the
+    adapt->agg pw_chain_chw fusion): holds the RAW CHW tap plus the
+    folded adapt weights; ``.shape`` reports the ADAPTED shape so the
+    pool-entry shape queries in apply/apply_sp work unchanged."""
+
+    def __init__(self, x, adapt_wb):
+        self.x = x                   # [B, C_tap, h, w] (local in sp)
+        self.adapt = adapt_wb        # (w_folded HWIO, bias)
+        self.shape = (x.shape[0], adapt_wb[0].shape[3],
+                      x.shape[2], x.shape[3])
 
 
 class _Op:
@@ -601,8 +633,28 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
     collect = _decoder_collect_inds(conns, len(params["adapt"]))
     cell_collect = _cell_collect_inds(cell_config)
 
+    # adapt->agg pointwise-chain fusion: a tap's adapted entry that is
+    # consumed by exactly ONE aggregate branch (and never collected)
+    # never needs to exist in HBM — the agg site runs the bit-exact
+    # two-stage kernel pw_chain_chw on the RAW tap instead (kills a
+    # full [B, agg, H, W] write+read; 25 MB/frame at the arch0 1/4-res
+    # tap, trace row `dec-adapts` in docs/DESIGN.md's floor table)
+    n_taps = len(params["adapt"])
+    tap_uses = [sum(1 for c in conns for idx in c if idx == i)
+                + (1 if i in collect else 0) for i in range(n_taps)]
+    lazy_ok = [tap_uses[i] == 1 and i not in collect
+               for i in range(n_taps)]
+
     def pw(x, wf, bf, relu=True):
         return conv_chw(x, wf, bf, k=1, relu=relu, interpret=interpret)
+
+    def agg_pw(entry, wf, bf):
+        """Aggregate-branch 1x1 on a pool entry; lazy tap entries fuse
+        their pending adapt into the same kernel (bit-exact)."""
+        if isinstance(entry, _LazyTap):
+            return pw_chain_chw(entry.x, [entry.adapt, (wf, bf)],
+                                interpret=interpret)
+        return pw(entry, wf, bf)
 
     if spatial is not None:
         assert not flat_logits, "sharded decoder emits 4-D local rows"
@@ -651,9 +703,12 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
                                interpret=interpret)
 
         def apply_sp(taps):
-            # pool entries: (tensor, is_local) — taps enter LOCAL
-            pool: List[Any] = [(pw(t, wf, bf), True)
-                               for t, (wf, bf) in zip(taps, adapts)]
+            # pool entries: (tensor, is_local) — taps enter LOCAL;
+            # lazy taps defer their adapt into the agg chain kernel
+            # (pointwise => shard-oblivious, bit-exact vs unfused)
+            pool: List[Any] = [
+                (_LazyTap(t, wb) if lazy_ok[k] else pw(t, *wb), True)
+                for k, (t, wb) in enumerate(zip(taps, adapts))]
             for blk, (i, j) in zip(blocks, conns):
                 fhw = []
                 for e in (pool[i], pool[j]):
@@ -664,8 +719,8 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
                 # shared predicate (static mirror: decoder_shard_plan)
                 shard = _block_shards(hw, fhw, n_sh, halo_req)
                 e1, e2 = pool[i], pool[j]
-                y1 = (pw(e1[0], *blk["agg1"]), e1[1])
-                y2 = (pw(e2[0], *blk["agg2"]), e2[1])
+                y1 = (agg_pw(e1[0], *blk["agg1"]), e1[1])
+                y2 = (agg_pw(e2[0], *blk["agg2"]), e2[1])
                 f1 = y1[0].shape[2] * (n_sh if y1[1] else 1)
                 f2 = y2[0].shape[2] * (n_sh if y2[1] else 1)
                 if f2 == hw[0] and y2[0].shape[3] == hw[1] and \
@@ -716,25 +771,36 @@ def build_fast_decoder(genotype, params, stats, *, align_corners: bool = True,
 
     def apply(taps):
         pool: List[Any] = []
-        for t, (wf, bf) in zip(taps, adapts):
+        for k, (t, wb) in enumerate(zip(taps, adapts)):
             x = t if taps_channel_first else jnp.transpose(t, (0, 3, 1, 2))
-            pool.append(pw(x, wf, bf))
+            pool.append(_LazyTap(x, wb) if lazy_ok[k] else pw(x, *wb))
         for blk, (i, j) in zip(blocks, conns):
-            y1 = pw(pool[i], *blk["agg1"])
-            y2 = pw(pool[j], *blk["agg2"])
-            hw = (max(y1.shape[2], y2.shape[2]),
-                  max(y1.shape[3], y2.shape[3]))
+            br = [(pool[i], blk["agg1"]), (pool[j], blk["agg2"])]
+            shp = [e.shape for e, _ in br]
+            hw = (max(s[2] for s in shp), max(s[3] for s in shp))
             # pair add fused into a resize kernel's epilogue; resize the
             # branch that NEEDS resizing last so the identity branch
             # rides in as its acc (an explicit XLA add of two
             # differently-laid-out tensors traced at 0.46 ms/b8)
-            if y2.shape[2:] == hw and y1.shape[2:] != hw:
-                y1, y2 = y2, y1
-            y = _resize_chw(
-                y2, hw, align_corners,
-                acc=_resize_chw(y1, hw, align_corners,
-                                interpret=interpret),
-                interpret=interpret)
+            if shp[1][2:] == hw and shp[0][2:] != hw:
+                br.reverse()
+                shp.reverse()
+            (e1, wb1), (e2, wb2) = br
+            if isinstance(e1, _LazyTap) and shp[0][2:] == hw:
+                # identity lazy tap: its adapt->agg chain rides in the
+                # resize's acc path (fused in-kernel when eligible,
+                # pw_chain_chw otherwise — bit-exact either way)
+                y = _resize_chw(agg_pw(e2, *wb2), hw, align_corners,
+                                acc_chain=(e1.x, [e1.adapt, wb1]),
+                                interpret=interpret)
+            else:
+                y1 = agg_pw(e1, *wb1)
+                y2 = agg_pw(e2, *wb2)
+                y = _resize_chw(
+                    y2, hw, align_corners,
+                    acc=_resize_chw(y1, hw, align_corners,
+                                    interpret=interpret),
+                    interpret=interpret)
             fused = _fused_cell(blk, cell_config, cell_collect, y,
                                 interpret)
             if fused is not None:

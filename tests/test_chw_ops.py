@@ -208,3 +208,40 @@ def test_pw_multi_matches_concat_conv():
     want_1 = np.asarray(conv_chw(x1, wf[:, :, :c1], bias, k=1,
                                  relu=False, out_4d=True, interpret=True))
     np.testing.assert_array_equal(got_1, want_1)
+
+
+def test_pw_chain_matches_stacked_convs():
+    """pw_chain_chw == two sequential conv_chw(k=1) calls BIT-EXACTLY:
+    the chain casts each stage to the output dtype before the next dot,
+    which is exactly the HBM storage rounding of the unfused pair (the
+    property fast_decoder relies on to fuse the adapt->agg pair in the
+    production path while the NHWC reference path stays unfused)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from segtpu.kernels.chw_ops import conv_chw, pw_chain_chw
+    rng = np.random.RandomState(1)
+    b, c0, c1, c2, h, w = 2, 24, 48, 48, 8, 128
+    for dtype in (np.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.randn(b, c0, h, w).astype(np.float32)
+                        ).astype(dtype)
+        w1 = jnp.asarray(rng.randn(1, 1, c0, c1).astype(np.float32) * .2
+                         ).astype(dtype)
+        b1 = jnp.asarray(rng.randn(c1).astype(np.float32))
+        w2 = jnp.asarray(rng.randn(1, 1, c1, c2).astype(np.float32) * .2
+                         ).astype(dtype)
+        b2 = jnp.asarray(rng.randn(c2).astype(np.float32))
+        mid = conv_chw(x, w1, b1, k=1, relu=True, interpret=True)
+        want = np.asarray(conv_chw(mid, w2, b2, k=1, relu=True,
+                                   interpret=True))
+        got = np.asarray(pw_chain_chw(x, [(w1, b1), (w2, b2)],
+                                      interpret=True))
+        np.testing.assert_array_equal(got, want)
+    # 4-D output form + single-stage degenerate + mixed relu flags
+    x = jnp.asarray(rng.randn(b, c0, h, w).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(1, 1, c0, c1).astype(np.float32) * .2)
+    b1 = jnp.asarray(rng.randn(c1).astype(np.float32))
+    got1 = np.asarray(pw_chain_chw(x, [(w1, b1)], relu=[False],
+                                   out_4d=True, interpret=True))
+    want1 = np.asarray(conv_chw(x, w1, b1, k=1, relu=False, out_4d=True,
+                                interpret=True))
+    np.testing.assert_array_equal(got1, want1)
