@@ -339,6 +339,12 @@ def build_infer_fn(genotype, *, num_classes: int, input_hw: Tuple[int, int],
             build = (build_fast_decoder
                      if infer_family(genotype).name == "micro"
                      else build_fast_template_decoder)
+            # one-line engagement record (VERDICT r4 next#4): which
+            # fast-decoder family the Pallas path materialized
+            import logging
+            logging.getLogger("segtpu.engine").info(
+                "pallas infer: family=%s builder=%s hw=%s",
+                infer_family(genotype).name, build.__name__, (h, w))
             # flat tail: decoder logits stay in the kernels' flat
             # (C-sublane, px-lane) layout and feed the W-first
             # upsample+argmax kernel retile-free (the 4-D interface

@@ -240,3 +240,37 @@ def test_engine_flat_tail_matches_xla_path(arch1_model):
     got = np.asarray(fast_fn(params, stats, jnp.asarray(img)))
     assert got.shape == want.shape == (1, 64, 512)
     assert (got == want).mean() > 0.999  # identical up to fp ties
+
+
+def test_engine_template_family_engages_fast_template_decoder(monkeypatch):
+    """VERDICT r4 next#4: the WACV template family must engage
+    build_fast_template_decoder on the production Pallas path (not fall
+    back to the micro builder or the XLA path). Asserted by wrapping the
+    builder symbol build_infer_fn resolves at trace time and checking it
+    fired, and that the produced masks match the XLA reference path."""
+    from segtpu.models import segmenter_init
+    from segtpu.models.arch_literals import TEMPLATE_ARCHS
+    import segtpu.models.fast_decoder as fd
+    genotype = TEMPLATE_ARCHS["template0"]
+    params, stats = segmenter_init(jax.random.PRNGKey(3), genotype,
+                                   num_classes=7)
+    calls = []
+    orig = fd.build_fast_template_decoder
+
+    def spy(*a, **k):
+        calls.append(True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fd, "build_fast_template_decoder", spy)
+    img = (np.random.RandomState(5).rand(1, 40, 72, 3) * 255).astype(
+        np.uint8)
+    fast_fn = build_infer_fn(genotype, num_classes=7, input_hw=(40, 72),
+                             compute_dtype=jnp.float32, use_pallas=True,
+                             pallas_interpret=True)
+    got = np.asarray(fast_fn(params, stats, jnp.asarray(img)))
+    assert calls, "template genotype did not engage the fast template builder"
+    ref_fn = build_infer_fn(genotype, num_classes=7, input_hw=(40, 72),
+                            compute_dtype=jnp.float32, use_pallas=False)
+    want = np.asarray(ref_fn(params, stats, jnp.asarray(img)))
+    assert got.shape == want.shape == (1, 40, 72)
+    assert (got == want).mean() > 0.999  # identical up to fp ties
