@@ -32,7 +32,7 @@ sys.path.insert(0, ".")
 #   resize_chw/fusion.8        agg-tap resize into the cell's input
 MAP = {
     "normalize_s2d_front.1": "front",
-    "conv_chw.12": "stem",
+    "conv_chw.4": "stem",
     "copy.882": "stem", "copy.883": "stem",
     "inv_res_chw.8": "b0-s1",
     "inv_res_s2_chw.4": "b1-s2",
@@ -40,6 +40,7 @@ MAP = {
     "fusion.6": "b1-s2",
     "inv_res_chw.9": "b1-s1.1",
     "inv_res_s2_chw.5": "b2-s2", "fusion.9": "b2-s2",
+    "fusion.11": "b2-s2", "fusion.13": "b2-s2", "fusion.15": "b2-s2",
     "inv_res_chw.10": "b2-s1", "inv_res_chw.11": "b2-s1",
     "inv_res_s2_chw.6": "b3-s2", "copy.885": "b3-s2",
     "inv_res_chw.16": "b3-s1", "inv_res_chw.17": "b3-s1",
@@ -49,17 +50,19 @@ MAP = {
     "inv_res_s2_chw.7": "b5-s2",
     "inv_res_chw.19": "b5-s1", "inv_res_chw.20": "b5-s1",
     "inv_res_chw.15": "b6-s1",
-    "conv_chw.18": "dec-adapts", "conv_chw.19": "dec-adapts",
-    "conv_chw.20": "dec-adapts", "conv_chw.21": "dec-adapts",
-    "conv_chw.22": "dec-adapts",
-    "infer.3": "cell@1/16",
-    "infer.4": "cell@1/8", "sep_conv_chw.4": "cell@1/8",
-    "reshape.286": "cell@1/8", "fusion.8": "cell@1/8",
+    # post-lazy-tap-fusion adapt remnants: the non-lazy (multi-consumer/
+    # collected) agg pointwises + the pw_chain kernel + the einsum-path
+    # chain at the small 1/8 resize (fast_decoder.py:135)
+    "conv_chw.6": "dec-adapts", "infer.9": "dec-adapts",
+    "fusion.8": "dec-adapts",
+    "infer.8": "cell@1/16",
+    "infer.10": "cell@1/8", "sep_conv_chw.4": "cell@1/8",
+    "reshape.234": "cell@1/8",
     "convert_reduce_fusion.1": "cell@1/8",
-    "infer.5": "cell@1/4", "sep_conv_chw.5": "cell@1/4",
+    "infer.11": "cell@1/4", "sep_conv_chw.5": "cell@1/4",
     "resize_chw_pallas.1": "cell@1/4",
     "convert_reduce_fusion": "cell@1/4",
-    "conv_chw.23": "clf",
+    "conv_chw.7": "clf",
     "upsample_argmax.1": "tail",
 }
 
