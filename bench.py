@@ -51,7 +51,11 @@ def main():
     h, w = (int(v) for v in hw.split("x"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     reps = int(os.environ.get("BENCH_REPS", "4"))
-    scan = int(os.environ.get("BENCH_SCAN", "48"))  # batches per dispatch
+    # batches per dispatch: amortizes the relay's ~24 ms per-dispatch
+    # sync. Round-5 sweep at b8 1024x2048: scan 48 -> 586.0, 64 ->
+    # 595.9 img/s; 96 exceeds HBM (staged u8 frames are scan x 50 MB).
+    # Larger batch instead is a measured NEGATIVE (b16/scan24: 563.6).
+    scan = int(os.environ.get("BENCH_SCAN", "64"))
     arch = os.environ.get("BENCH_ARCH", "arch0")
     num_classes = 19  # CityScapes
 
