@@ -48,6 +48,18 @@ from jax.experimental.pallas import tpu as pltpu
 #: VMEM scope at 48ch (compile error, recorded). Read ONCE at import.
 _TILE_PX = int(os.environ.get("SEGTPU_TILE_PX", "32768"))
 _INVRES_BUDGET = float(os.environ.get("SEGTPU_INVRES_BUDGET", "6e6"))
+#: Stride-2 column deinterleave INSIDE the s2 kernel (round 5): the
+#: exact-bf16 MXU permutation dots move from standalone XLA einsums
+#: into the kernel's tile entry. Bit-exact either way (0/1 matmul, f32
+#: accum, one nonzero per output; forced-both-paths parity test).
+#: MEASURED NEGATIVE on v5e (1024x2048 b8 traces): dispatch 12.800 ->
+#: 13.051 ms - the standalone einsums cost 0.38 ms of op time but the
+#: in-kernel dots cost ~0.63 (b1-s2 kernel 0.825 -> 1.055, b2-s2 0.335
+#: -> 0.438): the perm dot SERIALIZES with the kernel's expand->dw->
+#: project chain (separate XLA ops pipeline against neighbouring
+#: kernels) and every tile re-perms its halo rows. Same loss shape as
+#: the round-4 im2col-in-cell. Default OFF; knob kept for re-measure.
+_S2_INKERNEL_PERM = os.environ.get("SEGTPU_S2_INKERNEL_PERM", "0") == "1"
 #: Depthwise tap loops accumulate in the input's NATIVE dtype (bf16 in
 #: production) instead of f32 when 1. A/B knob — see _dw_tap_sum.
 #: MEASURED NEGATIVE on v5e (round 4, 1024x2048 b8 traces): 13.33 ->
@@ -1198,7 +1210,8 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
                       out_ref, *, h2: int, w2: int, tile_p: int,
                       halo_px: int, expand: bool, center_valid: bool,
                       q3d: bool = False, q4d: bool = False,
-                      stacked: bool = False, cmid: int = 0):
+                      stacked: bool = False, cmid: int = 0,
+                      inperm: bool = False):
     ti = pl.program_id(1)
     row0 = ti * (tile_p // w2)
     wpad = w2 + 1
@@ -1207,15 +1220,41 @@ def _invres_s2_kernel(wexp_ref, bexp_ref, wdw_ref, bdw_ref, wproj_ref,
     def qmap(d):
         return (0, 0) if d == 0 else (1, -1 if d == -1 else 0)
 
+    if inperm:
+        # IN-KERNEL column deinterleave (round 5): the x refs are the
+        # two PRE-PERM row planes in [c, kb, 256] blocks (xm2/x02 carry
+        # the [256, 128] even/odd 0/1 perm matrices); each plane is
+        # permed here with both phases — the same exact-bf16 MXU
+        # permutation dot the XLA einsum path runs, minus the four
+        # [b, c, kb, 128] HBM intermediates and their op dispatches.
+        # reshape (c, kb, 256) -> (c*kb, 256) is the outer->sublane
+        # merge the front kernel lowers in-register; (c*kb, 128) ->
+        # (c, kb*128) is the standard sublane->lane cast.
+        perms = (xm2[:], x02[:])
+        qv = []
+        for pm, p0 in ((xm0, x00), (xm1, x01)):
+            c_ = pm.shape[1]
+            hm = pm[0].reshape(c_ * pm.shape[2], 256)
+            b0 = p0[0].reshape(c_ * p0.shape[2], 256)
+            for mat in perms:
+                qv.append(tuple(
+                    jax.lax.dot_general(
+                        src, mat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    .astype(x00.dtype).reshape(c_, px)
+                    for src, px in ((hm, halo_px), (b0, tile_p))))
+
     def _win(q):
-        xm, x0 = views[q]
-        if q4d:
+        if inperm:
+            xm_v, x0_v = qv[q]
+        elif q4d:
             # blocks arrive in the einsum's native [c, kb, 128] layout;
             # the sublane->lane merge to the flat [c, px] working form
             # is the shape-cast direction Mosaic lowers in-register
-            xm_v = xm[0].reshape(xm.shape[1], halo_px)
-            x0_v = x0[0].reshape(x0.shape[1], tile_p)
+            xm_v = views[q][0][0].reshape(views[q][0].shape[1], halo_px)
+            x0_v = views[q][1][0].reshape(views[q][1].shape[1], tile_p)
         else:
+            xm, x0 = views[q]
             xm_v = xm[0] if q3d else xm[0, 0]
             x0_v = x0[0] if q3d else x0[0, 0]
         return jnp.concatenate(
@@ -1324,6 +1363,7 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     pair_flat = None
     row_planes = None
     q4d = False
+    inperm_mode = False
     if pair_hw is not None:
         assert isinstance(x, (tuple, list)) and len(x) == 2, \
             "pair_hw expects the (even, odd) flat plane tuple"
@@ -1368,21 +1408,32 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
             planes = pair_flat                 # already flat [B, C, px]
         else:
             xr = x.reshape(b, c, h2, 2, w)
-            planes = (xr[:, :, :, 0], xr[:, :, :, 1])
-        # keep the einsum's NATIVE [b, c, K, 128] output (K = px/128,
-        # K-sublane / 128-lane): flattening it to [b, c, px] here is a
-        # genuine retile (c-sublane/px-lane) that XLA materializes as a
-        # copy it cannot fuse into the pallas call (4 x 0.083 ms/b8 at
-        # 8x16x512x1024 in the round-3 trace). The kernel instead takes
-        # 4-D blocks and shape-casts [c, kb, 128] -> [c, kb*128]
-        # in-register (the sublane->lane merge direction Mosaic lowers;
-        # the front kernel relies on the same cast).
-        q_flat = []
-        for rp in planes:
-            r = rp.reshape(b, c, (h2 * w) // 256, 256)
-            for m in (ev, od):
-                q_flat.append(jnp.einsum("bckp,pq->bckq", r, m))
-        q4d = True
+            planes = (xr[:, :, :, 0].reshape(b, c, h2 * w),
+                      xr[:, :, :, 1].reshape(b, c, h2 * w))
+        if _S2_INKERNEL_PERM:
+            # round 5: do the perm dots INSIDE the kernel (see
+            # _invres_s2_kernel inperm) — the four [b, c, kb, 128]
+            # einsum intermediates and their op dispatches disappear
+            # (they traced at 0.38 ms/b8 across b1/b2/b5-s2). Falls
+            # back to the einsum path below if the tile alignment
+            # check later fails (q4d and inperm share it).
+            q_flat, q4d = list(planes), True
+            inperm_mode = True   # provisional; finalized below
+        else:
+            # keep the einsum's NATIVE [b, c, K, 128] output (K = px/128,
+            # K-sublane / 128-lane): flattening it to [b, c, px] here is a
+            # genuine retile (c-sublane/px-lane) that XLA materializes as a
+            # copy it cannot fuse into the pallas call (4 x 0.083 ms/b8 at
+            # 8x16x512x1024 in the round-3 trace). The kernel instead takes
+            # 4-D blocks and shape-casts [c, kb, 128] -> [c, kb*128]
+            # in-register (the sublane->lane merge direction Mosaic lowers;
+            # the front kernel relies on the same cast).
+            q_flat = []
+            for rp in planes:
+                r = rp.reshape(b, c, (h2 * w) // 256, 256)
+                for m in (ev, od):
+                    q_flat.append(jnp.einsum("bckp,pq->bckq", r, m))
+            q4d = True
     elif w % 128 == 0:
         # w == 128 (mod 256): fall back to the full-row-chunk einsum —
         # the minimal-K form's 64-lane output chunks would tile T(8,64)
@@ -1434,7 +1485,11 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         rows = _lane_round(target, w2)
     hp2 = _round_up(h2, rows)
     if hp2 != h2:
-        if q4d:
+        if inperm_mode:
+            q_flat = [jnp.concatenate(
+                [a, jnp.zeros(a.shape[:2] + ((hp2 - h2) * w,), a.dtype)],
+                axis=2) for a in q_flat]
+        elif q4d:
             q_flat = [jnp.concatenate(
                 [a, jnp.zeros(a.shape[:2]
                               + (((hp2 - h2) * w2) // 128, 128), a.dtype)],
@@ -1484,12 +1539,35 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
     if q4d and ((halo_rows * w2) % 1024 or tile_p % 1024):
         # Pallas 4-D blocks need the sublane (k) dim divisible by 8 —
         # i.e. 1024-px-aligned views. Misaligned small shapes take the
-        # old flat path (one XLA retile copy per quadrant).
+        # old flat path (one XLA retile copy per quadrant); the
+        # in-kernel perm shares the alignment need, so it first
+        # materializes its deferred einsums the classic way.
+        if inperm_mode:
+            q_flat = [jnp.einsum("bckp,pq->bckq",
+                                 rp.reshape(b, c, (hp2 * w) // 256, 256), m)
+                      for rp in q_flat for m in (ev, od)]
+            inperm_mode = False
         q_flat = [a.reshape(b, c, hp2 * w2) for a in q_flat]
         q4d = False
 
     x_specs, x_ops = [], []
-    if q4d:
+    if inperm_mode:
+        def pspec(blk, fn):
+            # pre-perm [c, kb, 256] blocks: same K indices as qspec4
+            # (K_pre = hp2*w/256 == hp2*w2/128 == K_post)
+            return pl.BlockSpec((1, c, blk // 128, 256),
+                                lambda bi, i, fn=fn: (bi, 0, fn(i), 0),
+                                memory_space=pltpu.VMEM)
+        planes4 = [a.reshape(b, c, (hp2 * w) // 256, 256) for a in q_flat]
+        for arr in planes4:
+            x_specs.append(pspec(halo_rows * w2,
+                                 lambda i: jnp.maximum(i * ratio - 1, 0)))
+            x_specs.append(pspec(tile_p, lambda i: i))
+            x_ops.extend([arr, arr])
+        for m in (ev, od, ev, od):   # xm2/x02 = perm mats; xm3/x03 pad
+            x_specs.append(_full_spec(m.shape))
+            x_ops.append(m)
+    elif q4d:
         def qspec4(blk, fn):
             return pl.BlockSpec((1, c, blk // 128, 128),
                                 lambda bi, i, fn=fn: (bi, 0, fn(i), 0),
@@ -1527,8 +1605,11 @@ def inv_res_s2_chw(x, w_exp, b_exp, w_dw, b_dw, w_proj, b_proj, *,
         functools.partial(_invres_s2_kernel, h2=h2, w2=w2, tile_p=tile_p,
                           halo_px=halo_rows * w2,
                           expand=expand, center_valid=hp2 == h2,
-                          q3d=q_flat is not None and not q4d, q4d=q4d,
-                          stacked=stacked, cmid=cmid),
+                          q3d=q_flat is not None and not q4d
+                              and not inperm_mode,
+                          q4d=q4d and not inperm_mode,
+                          stacked=stacked, cmid=cmid,
+                          inperm=inperm_mode),
         out_shape=jax.ShapeDtypeStruct((b, c_out, hp2 * w2), dtype),
         grid=(b, n_tiles),
         in_specs=[_full_spec(wexp.shape),

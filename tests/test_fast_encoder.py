@@ -194,3 +194,40 @@ def test_inv_res_row_split_feeds_s2(w, perm):
     got = inv_res_s2_chw(pair, *f2, pair_hw=(8, w), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_inv_res_s2_inkernel_perm_matches_einsum_path(monkeypatch):
+    """The round-5 in-kernel column deinterleave (chw_ops
+    _S2_INKERNEL_PERM) must be BIT-EXACT vs the XLA einsum path it
+    replaces: the perm is a 0/1 matmul with one nonzero per output and
+    f32 accumulation, so the permed values are identical and everything
+    downstream of them is the same program. Runs the w % 256 == 0
+    aligned shape both ways (bf16 like production, and f32)."""
+    import segtpu.kernels.chw_ops as co
+    from segtpu.kernels.chw_ops import inv_res_s2_chw
+    rng = np.random.RandomState(9)
+    cin, cmid, cout = 16, 96, 24
+    f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * .1)
+    ws = (f(1, 1, cin, cmid), f(cmid), f(3, 3, 1, cmid), f(cmid),
+          f(1, 1, cmid, cout), f(cout))
+    for dtype in (jnp.bfloat16, jnp.float32):
+        x = jnp.asarray(rng.randn(2, cin, 32, 256).astype(np.float32)
+                        ).astype(dtype)
+        wsd = tuple(w.astype(dtype) if w.ndim == 4 else w for w in ws)
+        monkeypatch.setattr(co, "_S2_INKERNEL_PERM", True)
+        got = np.asarray(inv_res_s2_chw(x, *wsd, interpret=True))
+        monkeypatch.setattr(co, "_S2_INKERNEL_PERM", False)
+        want = np.asarray(inv_res_s2_chw(x, *wsd, interpret=True))
+        np.testing.assert_array_equal(got, want)
+    # the pair-plane (row-split producer) form too — production path
+    monkeypatch.setattr(co, "_S2_INKERNEL_PERM", True)
+    x = jnp.asarray(rng.randn(2, cin, 32, 256).astype(np.float32))
+    xr = x.reshape(2, cin, 16, 2, 256)
+    pair = tuple(xr[:, :, :, ry].reshape(2, cin, 16 * 256)
+                 for ry in (0, 1))
+    got = np.asarray(inv_res_s2_chw(pair, *ws, pair_hw=(16, 256),
+                                    interpret=True))
+    monkeypatch.setattr(co, "_S2_INKERNEL_PERM", False)
+    want = np.asarray(inv_res_s2_chw(pair, *ws, pair_hw=(16, 256),
+                                     interpret=True))
+    np.testing.assert_array_equal(got, want)
