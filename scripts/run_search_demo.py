@@ -69,6 +69,9 @@ def main():
     # strong proxy (self-rho 0.90 vs 0.48 — artifacts/fidelity/
     # proxy_strength.json; VERDICT r4 next#2 runs the search there)
     epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 12
+    # controller/init seed (round 5: a seed-1 re-run of search v2
+    # measures search REPRODUCIBILITY across controller seeds)
+    seed = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     from segtpu.config import SearchConfig
     from segtpu.supernet import run_supernet_search
@@ -83,7 +86,7 @@ def main():
         val_list=os.path.join(data_root, "val.lst"),
         num_classes=NUM_CLASSES, crop_size=(64, 64),
         batch_size=(8, 8), num_epochs=(epochs, 0),
-        num_iters=rounds, seed=0,
+        num_iters=rounds, seed=seed,
         snapshot_dir=outdir)
 
     # Stage 0: pre-train the BACKBONE on the task (the reference searches
