@@ -75,3 +75,29 @@ def test_rank_and_variance_structure(results):
     assert s["std"] == min(stds), (s["std"], stds)
     # the floor collapses
     assert t["all_none"]["mean"] < 0.4
+
+
+def test_seed1_search_reproduces_quality_and_proxy_saturates(results):
+    """The seed-1 search (different trajectory, different genotype,
+    supernet reward 0.733 vs 0.550) retrains statistically identical to
+    seed-0's pick — search OUTPUT quality is reproducible — and the
+    probe's discrete rewards for the top-3 candidates order opposite to
+    their retrain truths: the proxy saturates past ~0.45 (DESIGN.md
+    'where the proxy saturates')."""
+    t = results["table"]
+    if "searched_seed1" not in t:
+        pytest.skip("seed-1 retrain rows not recorded")
+    s0, s1 = t["searched_best"], t["searched_seed1"]
+    # reproducible output quality: means within the pooled seed noise
+    assert abs(s0["mean"] - s1["mean"]) < results["pooled_seed_sigma"]
+    pr_path = os.path.join(os.path.dirname(ART), "proxy_rank.json")
+    if not os.path.exists(pr_path):
+        pytest.skip("proxy_rank probe not recorded")
+    with open(pr_path) as f:
+        mr = json.load(f)["mean_rewards"]
+    if "searched_seed1" not in mr:
+        pytest.skip("probe predates the seed-1 candidate")
+    # top-region inversion as recorded: proxy order seed1 > seed0 >
+    # random_4, truth order random_4 > {seed1 ~= seed0}
+    assert mr["searched_seed1"] > mr["searched_best"] > mr["random_4"]
+    assert t["random_4"]["mean"] > max(s0["mean"], s1["mean"])
