@@ -220,3 +220,37 @@ def test_decoder_shard_plan_static_mirror():
     p2 = decoder_shard_plan(ARCHS["arch2"], (64, 512), 2)
     assert all(b["sharded"] for b in p2["blocks"])
     assert p2["sharded_px_fraction"] == 1.0
+
+
+@pytest.mark.slow
+def test_fast_decoder_random_genotype_parity_sweep():
+    """Controller-sampled genotype sweep: the fast decoder's structural
+    optimizations (round-5 lazy-tap adapt->agg fusion, whole-cell
+    fusion, pair-add-in-resize) are GENOTYPE-DEPENDENT — lazy
+    eligibility hinges on tap use counts and collect sets, cell fusion
+    on op mixes and halo reach. The fixed-arch parity tests pin three
+    points of that space; this sweeps K always-valid controller samples
+    (deterministic keys) through fast-vs-reference per-pixel parity so
+    an eligibility-logic regression on an unusual connection pattern
+    cannot hide between the literals."""
+    from segtpu.rl.agent import create_agent, sample_genotype
+    from segtpu.rl.controller import MicroControllerSpec
+    spec = MicroControllerSpec(num_blocks=3, num_cell_nodes=3)
+    agent = create_agent(jax.random.PRNGKey(7), spec=spec)
+    rng = np.random.RandomState(3)
+    taps = [jnp.asarray(rng.randn(2, 32 // s, 48 // s, c)
+                        .astype(np.float32))
+            for s, c in zip((1, 2, 4, 8), MBV2_TAP_CHANNELS)]
+    for k in range(6):
+        g, _, _, _ = sample_genotype(agent, jax.random.PRNGKey(500 + k))
+        g = jax.tree_util.tree_map(int, g)
+        params, stats = micro_decoder_init(
+            jax.random.PRNGKey(k), g, MBV2_TAP_CHANNELS, num_classes=7)
+        stats = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(
+                rng.rand(*v.shape).astype(np.float32) + 0.5), stats)
+        want, _, _ = micro_decoder_apply(g, params, stats, taps)
+        fast = build_fast_decoder(g, params, stats, interpret=True)
+        got = np.transpose(np.asarray(fast(taps)), (0, 2, 3, 1))
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3,
+                                   atol=1e-4, err_msg=str(g))
