@@ -254,3 +254,35 @@ def test_fast_decoder_random_genotype_parity_sweep():
         got = np.transpose(np.asarray(fast(taps)), (0, 2, 3, 1))
         np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3,
                                    atol=1e-4, err_msg=str(g))
+
+
+@pytest.mark.slow
+def test_fast_template_decoder_random_genotype_parity_sweep():
+    """The WACV template family's counterpart of the sweep above: six
+    always-valid template-controller samples through
+    build_fast_template_decoder vs the NHWC reference."""
+    from segtpu.models.fast_decoder import build_fast_template_decoder
+    from segtpu.models.template_decoders import (
+        template_decoder_init, template_decoder_apply)
+    from segtpu.rl.agent import create_agent, sample_genotype
+    from segtpu.rl.controller import TemplateControllerSpec
+    spec = TemplateControllerSpec()
+    agent = create_agent(jax.random.PRNGKey(8), spec=spec)
+    rng = np.random.RandomState(5)
+    taps = [jnp.asarray(rng.randn(1, 32 // s, 48 // s, c)
+                        .astype(np.float32))
+            for s, c in zip((1, 2, 4, 8), MBV2_TAP_CHANNELS)]
+    for k in range(6):
+        g, _, _, _ = sample_genotype(agent, jax.random.PRNGKey(900 + k))
+        g = jax.tree_util.tree_map(int, g)
+        params, stats = template_decoder_init(
+            jax.random.PRNGKey(k), g, MBV2_TAP_CHANNELS, num_classes=7)
+        stats = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(
+                rng.rand(*v.shape).astype(np.float32) + 0.5), stats)
+        want, _, _ = template_decoder_apply(g, params, stats, taps)
+        fast = build_fast_template_decoder(g, params, stats,
+                                           interpret=True)
+        got = np.transpose(np.asarray(fast(taps)), (0, 2, 3, 1))
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3,
+                                   atol=1e-4, err_msg=str(g))
