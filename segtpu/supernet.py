@@ -441,6 +441,28 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
                else template_masks_from_actions)
     masks_vec = jax.jit(jax.vmap(lambda a: mask_fn(a, spec)))
 
+    # The whole stage-1 proxy as ONE program: scan(epochs) over
+    # scan(stacked cached batches). The python epoch x batch loop made
+    # epochs*n_batches separate dispatches per round (48 at the
+    # search-v2 config), each paying the dev relay's dispatch+sync
+    # latency — measured 21 s/round; the scanned program removes all
+    # but one. Semantics identical: the cache is fixed and iterated in
+    # the same deterministic order every epoch either way.
+    batches_stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *cached_train)
+
+    @jax.jit
+    def stage1(pop, masks, batches):
+        def epoch(p, _):
+            def one(q, b):
+                q2, _ = train_step(q, masks, b)
+                return q2, 0.0
+            p2, _ = jax.lax.scan(one, p, batches)
+            return p2, None
+        pop, _ = jax.lax.scan(epoch, pop, None,
+                              length=cfg.num_epochs[0])
+        return pop
+
     for rnd in range(cfg.num_iters):
         t0 = time.time()
         genos, acts, lps, ents = [], [], [], []
@@ -460,9 +482,7 @@ def run_supernet_search(cfg, *, population: int = 8, dataset=None,
         if mesh is not None:
             from segtpu.parallel.mesh import shard_population
             pop, masks = shard_population(mesh, pop, masks)
-        for _ in range(cfg.num_epochs[0]):
-            for batch in cached_train:
-                pop, losses = train_step(pop, masks, batch)
+        pop = stage1(pop, masks, batches_stacked)
         cms = 0
         for batch in cached_val:
             cms = cms + np.asarray(eval_step(pop.eval_params(), pop.stats,

@@ -248,3 +248,19 @@ def test_proxy_ranking_degenerate_below_real_in_both_modes():
     assert r_pg[0] > r_pg[1], (r_pg, "discrete proxy mis-ranks")
     assert r_sn[0] > r_sn[1], (r_sn, "supernet proxy mis-ranks")
     assert rho == 1.0
+
+
+@pytest.mark.slow
+def test_supernet_search_round_mesh_sharded(tmp_path):
+    """Full search loop with the K population samples sharded over a
+    virtual 4-device 'data' mesh — covers jit(scan(scan(shard_map(
+    train_step)))), the composition the round-5 scanned stage-1
+    introduced (the dryrun covers the sharded STEP only)."""
+    from segtpu.parallel.mesh import make_mesh
+    cfg = SearchConfig(synthetic=True, num_classes=4, crop_size=(32, 32),
+                       batch_size=(4, 4), num_epochs=(2, 0), num_iters=1,
+                       ctrl_algo="reinforce", agg_size=16,
+                       snapshot_dir=str(tmp_path / "snm"), seed=7)
+    saver = run_supernet_search(cfg, population=4, mesh=make_mesh(4, 1))
+    assert len(saver.history) == 4
+    assert all(0.0 <= r["reward"] <= 1.0 for r in saver.history)
