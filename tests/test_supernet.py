@@ -264,3 +264,28 @@ def test_supernet_search_round_mesh_sharded(tmp_path):
     saver = run_supernet_search(cfg, population=4, mesh=make_mesh(4, 1))
     assert len(saver.history) == 4
     assert all(0.0 <= r["reward"] <= 1.0 for r in saver.history)
+
+
+def test_population_sampling_vmapped_matches_sequential():
+    """The round-5 one-dispatch population sampler must be RNG-identical
+    to the sequential sample_genotype loop it replaced (same fold_in
+    keys, vmapped): actions, logprobs, and entropies all equal."""
+    import numpy as np
+    from segtpu.rl import controller as ctrl
+    from segtpu.rl.agent import create_agent, sample_genotype
+    spec = ctrl.MicroControllerSpec(num_blocks=3, num_cell_nodes=3)
+    agent = create_agent(jax.random.PRNGKey(11), spec=spec)
+    k_loop = jax.random.PRNGKey(42)
+    keys = jnp.stack([
+        jax.random.fold_in(jax.random.fold_in(k_loop, 0), i)
+        for i in range(4)])
+    acts_b, lps_b, ents_b = jax.vmap(
+        lambda k: ctrl.sample(agent.state.params, spec, k))(keys)
+    for i in range(4):
+        g, a, lp, ent = sample_genotype(agent, keys[i])
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(acts_b[i]))
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lps_b[i]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ent), np.asarray(ents_b[i]),
+                                   rtol=1e-6)
+        assert g == ctrl.genotype_from_actions(np.asarray(acts_b[i]), spec)
